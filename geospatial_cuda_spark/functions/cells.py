@@ -1,0 +1,249 @@
+"""Hierarchical cell (quadkey) index — the engine's rendering of the
+reference's adaptive-quadtree grid ids.
+
+The reference assigns node ids ``child = parent*4 + {1=BL,2=BR,3=TL,4=TR}``
+with root 0 (/root/reference/cuda/kernels.cu:517-537) and categorizes a point
+against the node midpoint with ``<=`` going left/bottom
+(/root/reference/cuda/kernels.cu:54-78); midpoints are computed in float32 as
+``(x1+x2)/2`` (/root/reference/cuda/create_grid.cu:74). That id scheme IS a
+base-4 quadkey: the id at depth d is a pure function of (x, y) because the
+bbox subdivision is data-independent — only the *stop* decision is
+data-driven. This module provides:
+
+- numpy kernels (float32-faithful) used by Arrow-vectorized pandas UDFs:
+  ``encode_cell_ids``, ``cell_bbox``, ``candidate_cell_ids``;
+- pure-Column / SQL expression generators (exact integer arithmetic, valid
+  for depth ≤ 10 where the float32 midpoints are exactly representable) that
+  run identically on Spark and DuckDB for the oracle cross-checks.
+
+Ids are unique ACROSS depths: depth-d ids live in
+``[(4^d+2)/3, (4^(d+1)-4)/3]`` (disjoint ranges), so ``cell_id`` alone keys a
+node; ``parent = (id-1) div 4``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from .. import DOMAIN, MAX_DEPTH
+
+# ---------------------------------------------------------------------------
+# numpy kernels (float32, reference-exact)
+# ---------------------------------------------------------------------------
+
+
+def encode_cell_ids(
+    x: np.ndarray,
+    y: np.ndarray,
+    depth: int,
+    domain: tuple[float, float, float, float] = DOMAIN,
+) -> np.ndarray:
+    """Cell id at ``depth`` for each point, reference digit rule.
+
+    Vectorized level-synchronous descent: per level compute the float32
+    midpoint of each point's current box, pick the quadrant with the
+    ``<=`` convention of categorize_points (cuda/kernels.cu:58-75), append
+    the digit (+1..4), and shrink the box — exactly the recursion of
+    quadtree_grid (cuda/create_grid.cu:147-155) minus the data-dependent stop.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    y = np.asarray(y, dtype=np.float32)
+    n = x.shape[0]
+    x1 = np.full(n, domain[0], np.float32)
+    y1 = np.full(n, domain[1], np.float32)
+    x2 = np.full(n, domain[2], np.float32)
+    y2 = np.full(n, domain[3], np.float32)
+    ids = np.zeros(n, dtype=np.int64)
+    for _ in range(depth):
+        mx = (x1 + x2) / np.float32(2)
+        my = (y1 + y2) / np.float32(2)
+        right = x > mx
+        top = y > my
+        ids = ids * 4 + (top.astype(np.int64) * 2 + right.astype(np.int64)) + 1
+        x1 = np.where(right, mx, x1)
+        x2 = np.where(right, x2, mx)
+        y1 = np.where(top, my, y1)
+        y2 = np.where(top, y2, my)
+    return ids
+
+
+def cell_depth(ids: np.ndarray) -> np.ndarray:
+    """Depth from id alone (id ranges are disjoint per depth)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    d = np.zeros_like(ids)
+    cur = ids.copy()
+    while True:
+        deeper = cur > 0
+        if not deeper.any():
+            break
+        cur = np.where(deeper, (cur - 1) // 4, cur)
+        d += deeper.astype(np.int64)
+    return d
+
+
+def cell_parent(ids: np.ndarray) -> np.ndarray:
+    ids = np.asarray(ids, dtype=np.int64)
+    return (ids - 1) // 4
+
+
+def cell_ancestor(ids: np.ndarray, levels_up: int) -> np.ndarray:
+    out = np.asarray(ids, dtype=np.int64)
+    for _ in range(levels_up):
+        out = (out - 1) // 4
+    return out
+
+
+def cell_digits(ids: np.ndarray, depth: int) -> np.ndarray:
+    """(n, depth) root-first digits 1..4 of each id (all ids at ``depth``)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    out = np.empty((ids.shape[0], depth), dtype=np.int64)
+    cur = ids.copy()
+    for d in range(depth - 1, -1, -1):
+        out[:, d] = (cur - 1) % 4 + 1
+        cur = (cur - 1) // 4
+    return out
+
+
+def cell_bbox(
+    ids: np.ndarray,
+    depth: int,
+    domain: tuple[float, float, float, float] = DOMAIN,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """float32 bbox of each cell id (all at the same ``depth``): replays the
+    recursion bboxes of cuda/create_grid.cu:147-155 digit by digit."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = ids.shape[0]
+    x1 = np.full(n, domain[0], np.float32)
+    y1 = np.full(n, domain[1], np.float32)
+    x2 = np.full(n, domain[2], np.float32)
+    y2 = np.full(n, domain[3], np.float32)
+    if depth == 0:
+        return x1, y1, x2, y2
+    digs = cell_digits(ids, depth)
+    for d in range(depth):
+        k = digs[:, d] - 1  # 0=BL,1=BR,2=TL,3=TR
+        mx = (x1 + x2) / np.float32(2)
+        my = (y1 + y2) / np.float32(2)
+        right = (k % 2) == 1
+        top = (k // 2) == 1
+        x1 = np.where(right, mx, x1)
+        x2 = np.where(right, x2, mx)
+        y1 = np.where(top, my, y1)
+        y2 = np.where(top, y2, my)
+    return x1, y1, x2, y2
+
+
+def candidate_cell_ids(
+    x: np.ndarray,
+    y: np.ndarray,
+    max_depth: int = MAX_DEPTH,
+    domain: tuple[float, float, float, float] = DOMAIN,
+) -> np.ndarray:
+    """All cell ids whose CLOSED bbox contains each point, depths 0..max_depth.
+
+    quadrant_search containment is inclusive on every edge
+    (cuda/kernels.cu:152-155), so a point exactly on a shared cell edge lies
+    in up to 4 boxes per depth. The containing set per depth equals the cross
+    product of ≤2 x-chains × ≤2 y-chains, obtained by running the descent
+    under both tie-break rules per axis (``<=`` goes left — the reference
+    categorize rule — vs ``<`` goes left). Returns (n, 4*(max_depth+1)) int64
+    with duplicates (the caller dedups relationally) and -1 for points
+    outside the closed domain.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    y = np.asarray(y, dtype=np.float32)
+    n = x.shape[0]
+    in_domain = (
+        (x >= np.float32(domain[0]))
+        & (x <= np.float32(domain[2]))
+        & (y >= np.float32(domain[1]))
+        & (y <= np.float32(domain[3]))
+    )
+    out = np.full((n, 4 * (max_depth + 1)), -1, dtype=np.int64)
+    chain = 0
+    for x_le_left in (True, False):
+        for y_le_left in (True, False):
+            x1 = np.full(n, domain[0], np.float32)
+            y1 = np.full(n, domain[1], np.float32)
+            x2 = np.full(n, domain[2], np.float32)
+            y2 = np.full(n, domain[3], np.float32)
+            ids = np.zeros(n, dtype=np.int64)
+            base = chain * (max_depth + 1)
+            out[:, base] = np.where(in_domain, ids, -1)
+            for d in range(max_depth):
+                mx = (x1 + x2) / np.float32(2)
+                my = (y1 + y2) / np.float32(2)
+                right = (x > mx) if x_le_left else (x >= mx)
+                top = (y > my) if y_le_left else (y >= my)
+                ids = ids * 4 + (top.astype(np.int64) * 2 + right.astype(np.int64)) + 1
+                x1 = np.where(right, mx, x1)
+                x2 = np.where(right, x2, mx)
+                y1 = np.where(top, my, y1)
+                y2 = np.where(top, y2, my)
+                out[:, base + d + 1] = np.where(in_domain, ids, -1)
+            chain += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pandas UDF wrappers (Arrow-vectorized; the engine's "kernel launch")
+# ---------------------------------------------------------------------------
+
+
+def cell_id_col(xcol, ycol, depth: int, domain=DOMAIN):
+    """Column: reference cell id at ``depth`` (float32-faithful)."""
+
+    @F.pandas_udf(LongType())
+    def _enc(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(encode_cell_ids(xs.to_numpy(), ys.to_numpy(), depth, domain))
+
+    return _enc(xcol, ycol)
+
+
+def candidate_cells_col(xcol, ycol, max_depth: int = MAX_DEPTH, domain=DOMAIN):
+    """Column: array<long> of closed-containment candidate ids (with dups)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cand(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        arr = candidate_cell_ids(xs.to_numpy(), ys.to_numpy(), max_depth, domain)
+        return pd.Series(list(arr))
+
+    return _cand(xcol, ycol)
+
+
+# ---------------------------------------------------------------------------
+# Shared Spark/DuckDB SQL expression generators (exact integer arithmetic).
+#
+# Valid while the level boundaries k*1e6/2^d are exactly representable, i.e.
+# depth ≤ 10 for the 1e6 domain — there float32 == float64 == exact rational,
+# so these agree bit-for-bit with the float32 kernels above.
+# ---------------------------------------------------------------------------
+
+
+def axis_bin_sql(col: str, depth: int, extent: int = 1_000_000) -> str:
+    """Bin index along one axis at ``depth`` with the reference's ``<=`` rule:
+    a coordinate exactly on an interior boundary belongs to the LEFT bin,
+    hence ceil(x*2^d/extent) - 1 (clamped at 0) rather than floor."""
+    scale = 1 << depth
+    return (
+        f"GREATEST(CAST(FLOOR((CAST({col} AS BIGINT) * {scale} + {extent - 1}) "
+        f"/ {extent}.0) AS BIGINT) - 1, 0)"
+    )
+
+
+def cell_id_sql(xcol: str, ycol: str, depth: int, extent: int = 1_000_000) -> str:
+    """Reference cell id at ``depth`` as a single SQL expression (both
+    engines): id_d = id_{d-1}*4 + (row_d%2)*2 + (col_d%2) + 1."""
+    expr = "0"
+    for d in range(1, depth + 1):
+        cx = axis_bin_sql(xcol, d, extent)
+        cy = axis_bin_sql(ycol, d, extent)
+        expr = f"(({expr}) * 4 + (({cy}) % 2) * 2 + (({cx}) % 2) + 1)"
+    return expr
+
+
+def cell_parent_sql(idcol: str) -> str:
+    return f"CAST(FLOOR(({idcol} - 1) / 4.0) AS BIGINT)"

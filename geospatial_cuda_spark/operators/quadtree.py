@@ -1,0 +1,213 @@
+"""Adaptive quadtree build as a level-synchronous DataFrame program.
+
+The reference builds the tree by per-node recursion with a GPU kernel pair
+per node (quadtree_grid, cuda/create_grid.cu:25-159) or a BFS wave loop
+(cuda/create_grid_with_stream.cu:187-263). Neither shape survives 100 TB.
+The engine exploits two structural facts instead:
+
+1. The bbox subdivision is data-independent — only the STOP rule
+   (count < MIN_POINTS or extent floor, create_grid.cu:31-35) is data-driven.
+   So each point's full-depth quadkey is a pure function of (x, y): ONE
+   projection (Arrow-vectorized float32 kernel) + ONE shuffle
+   (groupBy finest cell) replaces the entire recursion over points.
+
+2. Subtree counts are monotone up the tree (parent = Σ children), and the
+   extent rule is monotone in depth — so ``interior(parent)`` implies every
+   ancestor is interior, and a cell exists in the tree iff its PARENT is
+   interior. The tree-reality test is a single parent join on the cell-count
+   relation: no iteration, no driver round-trips over data.
+
+Result: the quadtree at any scale costs one points-sized shuffle plus
+max_depth tiny rollups over cell counts (≤ #distinct occupied cells rows,
+never points). Empty children of interior nodes are materialized as
+zero-count leaves exactly like the reference's unconditional 4-way recursion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    FloatType,
+    StructField,
+    StructType,
+)
+
+from .. import DOMAIN, MAX_DEPTH, MIN_DISTANCE, MIN_POINTS
+from ..functions import cells as C
+
+
+def parent_col(cell_id: Column) -> Column:
+    """(id-1) div 4 — exact for ids < 2^52."""
+    return F.floor((cell_id - F.lit(1)) / F.lit(4)).cast("long")
+
+
+def ancestor_col(cell_id: Column, levels_up: int) -> Column:
+    c = cell_id
+    for _ in range(levels_up):
+        c = parent_col(c)
+    return c
+
+
+def ancestor_dyn_col(cell_id: Column, levels_up: Column, max_levels: int = MAX_DEPTH) -> Column:
+    """Ancestor with a per-row (data-dependent) number of levels: index into
+    the precomputed ancestor array (linear-size expression — a naive nested
+    CASE WHEN doubles the expression tree per level and explodes the plan)."""
+    chain = F.array(*[ancestor_col(cell_id, k) for k in range(max_levels + 1)])
+    return F.element_at(chain, (levels_up + 1).cast("int"))
+
+
+_BBOX_SCHEMA = StructType(
+    [
+        StructField("min_x", FloatType()),
+        StructField("min_y", FloatType()),
+        StructField("max_x", FloatType()),
+        StructField("max_y", FloatType()),
+        StructField("extent_ok", BooleanType()),
+    ]
+)
+
+
+def bbox_struct_col(cell_id: Column, depth: Column, domain=DOMAIN, min_distance=MIN_DISTANCE) -> Column:
+    """float32 bbox + interior-extent flag per cell (mixed depths per batch).
+
+    extent_ok mirrors the negation of the reference's extent stop
+    (create_grid.cu:31-35): interior requires |x1-x2| >= 5 OR |y1-y2| >= 5,
+    evaluated in float32.
+    """
+
+    @F.pandas_udf(_BBOX_SCHEMA)
+    def _bbox(ids: pd.Series, depths: pd.Series) -> pd.DataFrame:
+        n = len(ids)
+        out = {
+            "min_x": np.zeros(n, np.float32),
+            "min_y": np.zeros(n, np.float32),
+            "max_x": np.zeros(n, np.float32),
+            "max_y": np.zeros(n, np.float32),
+            "extent_ok": np.zeros(n, bool),
+        }
+        ids_np = ids.to_numpy(np.int64)
+        depths_np = depths.to_numpy(np.int64)
+        for d in np.unique(depths_np):
+            m = depths_np == d
+            x1, y1, x2, y2 = C.cell_bbox(ids_np[m], int(d), domain)
+            out["min_x"][m], out["min_y"][m] = x1, y1
+            out["max_x"][m], out["max_y"][m] = x2, y2
+            out["extent_ok"][m] = (np.abs(x1 - x2) >= np.float32(min_distance)) | (
+                np.abs(y1 - y2) >= np.float32(min_distance)
+            )
+        return pd.DataFrame(out)
+
+    return _bbox(cell_id, depth)
+
+
+def with_cell_id(
+    df: DataFrame,
+    depth: int = MAX_DEPTH,
+    x: str = "x",
+    y: str = "y",
+    out: str = "cell_id",
+    domain=DOMAIN,
+) -> DataFrame:
+    """Attach the reference cell id at ``depth`` (float32-faithful kernel)."""
+    return df.withColumn(out, C.cell_id_col(F.col(x), F.col(y), depth, domain))
+
+
+def build_cells(
+    points: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    domain=DOMAIN,
+    min_points: int = MIN_POINTS,
+    min_distance: float = MIN_DISTANCE,
+    max_depth: int = MAX_DEPTH,
+) -> DataFrame:
+    """Build the quadtree as a relation.
+
+    Returns ``(cell_id long, depth int, min_x/min_y/max_x/max_y float,
+    count long, is_leaf boolean)`` — semantically identical to the relation
+    prepare_boundaries emits (cuda/kernels.cu:517-537), including zero-count
+    leaf children of interior nodes.
+    """
+    spark = points.sparkSession
+    # One points-wide projection + one shuffle: counts of occupied finest cells.
+    finest = (
+        with_cell_id(points.select(x, y), max_depth, x, y, "cell_id", domain)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+    # Rollup to every depth in ONE shuffle: each occupied finest cell explodes
+    # into its max_depth+1 ancestor prefixes (pure JVM integer arithmetic),
+    # then a single groupBy(cell_id) sums subtree counts. Shuffle volume is
+    # (max_depth+1) × occupied-cells rows — cells, never points. (At extreme
+    # scale a per-level rollup chain shuffles ~1.33× cells total instead of
+    # 19×, at the cost of max_depth stages; swap here if that tradeoff wins.)
+    ancestors = F.array(
+        *[ancestor_col(F.col("cell_id"), k) for k in range(max_depth + 1)]
+    )
+    counts_all = (
+        finest.select(F.posexplode(ancestors).alias("k", "cell_id"), "count")
+        .select(
+            "cell_id", (F.lit(max_depth) - F.col("k")).cast("int").alias("depth"), "count"
+        )
+        .groupBy("cell_id", "depth")
+        .agg(F.sum("count").alias("count"))
+        .persist()
+    )
+
+    with_geom = counts_all.withColumn(
+        "g", bbox_struct_col(F.col("cell_id"), F.col("depth"), domain, min_distance)
+    ).select("cell_id", "depth", "count", "g.*")
+
+    interior = with_geom.where(
+        (F.col("count") >= min_points) & F.col("extent_ok") & (F.col("depth") < max_depth)
+    )
+
+    # Every interior cell spawns exactly 4 children (reference recursion is
+    # unconditional: create_grid.cu:147-155) — empties become 0-count leaves.
+    children = interior.select(
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)])).alias("k"),
+        (F.col("cell_id") * 4 + F.col("k")).alias("child_id"),
+        (F.col("depth") + 1).alias("depth"),
+    ).select(F.col("child_id").alias("cell_id"), "depth")
+
+    # Reality join: a non-root cell exists iff its parent is interior. Ids are
+    # globally unique across depths, so cell_id alone is the key.
+    real = children.join(
+        counts_all.select("cell_id", "count"), on="cell_id", how="left"
+    ).select("cell_id", "depth", F.coalesce(F.col("count"), F.lit(0)).alias("count"))
+
+    root = (
+        spark.range(1)
+        .select(F.lit(0).cast("long").alias("cell_id"))
+        .join(counts_all.where(F.col("depth") == 0).select("cell_id", "count"), on="cell_id", how="left")
+        .select(
+            "cell_id",
+            F.lit(0).cast("int").alias("depth"),
+            F.coalesce(F.col("count"), F.lit(0)).alias("count"),
+        )
+    )
+
+    cells = root.unionByName(real)
+    cells = cells.withColumn(
+        "g", bbox_struct_col(F.col("cell_id"), F.col("depth"), domain, min_distance)
+    ).select(
+        "cell_id",
+        "depth",
+        F.col("g.min_x").alias("min_x"),
+        F.col("g.min_y").alias("min_y"),
+        F.col("g.max_x").alias("max_x"),
+        F.col("g.max_y").alias("max_y"),
+        "count",
+        (
+            ~(
+                (F.col("count") >= min_points)
+                & F.col("g.extent_ok")
+                & (F.col("depth") < max_depth)
+            )
+        ).alias("is_leaf"),
+    )
+    return cells

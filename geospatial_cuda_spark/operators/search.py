@@ -1,0 +1,138 @@
+"""Containing-quadrant search (J1) and exact point lookup (J2).
+
+Two physical strategies for the same logical operator, both matching
+quadrant_search's semantics exactly (cuda/kernels.cu:142-162): inclusive
+containment on every bbox edge, winner = MAX cell id (deepest node, since
+child ids exceed ancestors'; ties across sibling chains on shared edges also
+resolve by max id), -1 when no boundary contains the point.
+
+- ``broadcast`` path: the reference-faithful broadcast nested-loop θ-join —
+  every query × every boundary — then argmax. Right for small/medium cell
+  relations (the boundary table is tiny relative to points).
+- ``prefix`` path: work-efficient equi-join — each query generates its ≤4
+  closed-containment candidate id chains (Arrow kernel), exploded and
+  equi-joined against the cells relation. O(depth) candidates per query
+  instead of O(#cells); the join shuffles on cell_id and survives cell
+  relations far beyond broadcast size. This inverts the reference's
+  brute-force-for-parallelism trade (SURVEY §4) without changing results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import DOMAIN, MAX_DEPTH
+from ..functions import cells as C
+from .quadtree import ancestor_dyn_col
+
+RESULT_COL = "found_cell_id"
+
+
+def _argmax_fill(queries: DataFrame, hits: DataFrame, qid: str) -> DataFrame:
+    best = hits.groupBy(qid).agg(F.max("cell_id").alias(RESULT_COL))
+    return queries.join(best, on=qid, how="left").withColumn(
+        RESULT_COL, F.coalesce(F.col(RESULT_COL), F.lit(-1)).cast("long")
+    )
+
+
+def quadrant_search_broadcast(
+    queries: DataFrame,
+    cells: DataFrame,
+    qid: str = "qid",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Reference-shaped plan: broadcast boundaries, nested-loop containment."""
+    b = F.broadcast(cells.select("cell_id", "min_x", "min_y", "max_x", "max_y"))
+    cond = (
+        (F.col(x) >= F.col("min_x"))
+        & (F.col(x) <= F.col("max_x"))
+        & (F.col(y) >= F.col("min_y"))
+        & (F.col(y) <= F.col("max_y"))
+    )
+    hits = queries.select(qid, x, y).join(b, on=cond, how="inner")
+    return _argmax_fill(queries, hits, qid)
+
+
+def quadrant_search_prefix(
+    queries: DataFrame,
+    cells: DataFrame,
+    qid: str = "qid",
+    x: str = "x",
+    y: str = "y",
+    max_depth: int = MAX_DEPTH,
+    domain=DOMAIN,
+    broadcast_cells: bool = False,
+) -> DataFrame:
+    """Scale path: candidate-chain equi-join instead of nested-loop scan."""
+    cand = (
+        queries.select(
+            qid,
+            F.explode(C.candidate_cells_col(F.col(x), F.col(y), max_depth, domain)).alias(
+                "cell_id"
+            ),
+        )
+        .where(F.col("cell_id") >= 0)
+        .dropDuplicates([qid, "cell_id"])
+    )
+    cells_ids = cells.select("cell_id")
+    if broadcast_cells:
+        cells_ids = F.broadcast(cells_ids)
+    hits = cand.join(cells_ids, on="cell_id", how="inner")
+    return _argmax_fill(queries, hits, qid)
+
+
+def point_lookup(
+    queries: DataFrame,
+    points: DataFrame,
+    cells: DataFrame,
+    qid: str = "qid",
+    x: str = "x",
+    y: str = "y",
+    max_depth: int = MAX_DEPTH,
+    domain=DOMAIN,
+    strategy: str = "prefix",
+) -> DataFrame:
+    """J1 + J2: locate the containing quadrant, then verify the exact point
+    exists in THAT node's subtree (inference.cu:126-137). A point on a shared
+    edge can resolve to a sibling chain that does not hold it — that is
+    reference behavior and is preserved.
+
+    ``points`` must carry a ``cell_id`` column at ``max_depth`` (see
+    quadtree.with_cell_id). Returns (qid, found_cell_id, found boolean).
+    """
+    search = quadrant_search_prefix if strategy == "prefix" else quadrant_search_broadcast
+    kwargs = dict(qid=qid, x=x, y=y)
+    if strategy == "prefix":
+        kwargs.update(max_depth=max_depth, domain=domain)
+    found = search(queries, cells, **kwargs)
+
+    found = found.join(
+        cells.select("cell_id", F.col("depth").alias("_found_depth")).withColumnRenamed(
+            "cell_id", RESULT_COL
+        ),
+        on=RESULT_COL,
+        how="left",
+    )
+    # Exact-equality join against points, then require the matched point's
+    # ancestor at the found depth to BE the found cell (membership in that
+    # node's subtree array).
+    pts = points.select(
+        F.col(x).alias("_px"), F.col(y).alias("_py"), F.col("cell_id").alias("_pcell")
+    )
+    m = found.join(
+        pts, on=(F.col(x) == F.col("_px")) & (F.col(y) == F.col("_py")), how="left"
+    ).withColumn(
+        "_member",
+        (F.col(RESULT_COL) >= 0)
+        & F.col("_pcell").isNotNull()
+        & (
+            ancestor_dyn_col(
+                F.col("_pcell"), F.lit(max_depth) - F.col("_found_depth"), max_depth
+            )
+            == F.col(RESULT_COL)
+        ),
+    )
+    return m.groupBy(qid, RESULT_COL).agg(
+        F.coalesce(F.max("_member"), F.lit(False)).alias("found")
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The configs below are the knobs SURVEY.md §4 calls out as "configure, not
+write": AQE (runtime re-plan, skew-join splitting, partition coalescing),
+Arrow execution for the pandas-UDF kernel layer, and shuffle-partition
+sizing. On a real cluster the same factory is used by the spark-submit
+entrypoint; here it defaults to local[*].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "geospatial_cuda_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        shuffle_partitions = max(cpus, 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Runtime re-planning: partition coalescing, skew-join splitting —
+        # the engine's answer to the reference's adaptive splitting + manual
+        # occupancy tuning (SURVEY §4).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow transfer for the pandas-UDF kernel layer. Image rows carry
+        # ~KB binary payloads, so cap records per Arrow batch to bound batch
+        # memory (SURVEY §7 hard part 4).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Keep timestamps deterministic.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,120 @@
+"""Cell-encoding kernels vs the recursive numpy oracle (reference semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geospatial_cuda_spark import DOMAIN
+from geospatial_cuda_spark import oracle
+from geospatial_cuda_spark.functions import cells as C
+
+
+def _oracle_leaf_path_ids(x, y, depth):
+    """Digit-at-a-time descent mirroring categorize_points, per point,
+    plain-python (independent of the vectorized kernel's internals)."""
+    out = []
+    for px, py in zip(np.float32(x), np.float32(y)):
+        x1, y1, x2, y2 = map(np.float32, DOMAIN)
+        cid = 0
+        for _ in range(depth):
+            mx = np.float32((x2 + x1) / np.float32(2))
+            my = np.float32((y2 + y1) / np.float32(2))
+            if px <= mx and py <= my:
+                k, x2n, y2n, x1n, y1n = 0, mx, my, x1, y1
+            elif px > mx and py <= my:
+                k, x1n, y2n, x2n, y1n = 1, mx, my, x2, y1
+            elif px <= mx and py > my:
+                k, x2n, y1n, x1n, y2n = 2, mx, my, x1, y2
+            else:
+                k, x1n, y1n, x2n, y2n = 3, mx, my, x2, y2
+            cid = cid * 4 + k + 1
+            x1, y1, x2, y2 = x1n, y1n, x2n, y2n
+        out.append(cid)
+    return np.array(out, dtype=np.int64)
+
+
+def test_encode_matches_digit_descent(small_points):
+    x, y = small_points
+    for depth in (1, 3, 7, 12, 18):
+        got = C.encode_cell_ids(x, y, depth)
+        want = _oracle_leaf_path_ids(x, y, depth)
+        assert np.array_equal(got, want), f"depth={depth}"
+
+
+def test_id_depth_parent_roundtrip(small_points):
+    x, y = small_points
+    ids = C.encode_cell_ids(x, y, 9)
+    assert np.array_equal(C.cell_depth(ids), np.full_like(ids, 9))
+    assert np.array_equal(C.cell_ancestor(ids, 9), np.zeros_like(ids))
+    shallower = C.encode_cell_ids(x, y, 4)
+    assert np.array_equal(C.cell_ancestor(ids, 5), shallower)
+
+
+def test_bbox_contains_own_points(small_points):
+    x, y = small_points
+    for depth in (2, 6, 11):
+        ids = C.encode_cell_ids(x, y, depth)
+        x1, y1, x2, y2 = C.cell_bbox(ids, depth)
+        assert ((x >= x1) & (x <= x2) & (y >= y1) & (y <= y2)).all()
+
+
+def test_candidates_cover_all_inclusive_containment(small_points):
+    """Candidate chains must equal the brute-force closed-containment set at
+    every depth (including midline/corner points from the edge pack)."""
+    x, y = small_points
+    x, y = x[:200], y[:200]
+    depth = 6
+    cand = C.candidate_cell_ids(x, y, depth)
+    # brute force: enumerate ALL cells at each depth ≤ 6 … too many at 6; use
+    # per-depth bins derived from the oracle tree over a coarse full grid.
+    for d in range(depth + 1):
+        all_ids = np.arange(4**d, dtype=np.int64)
+        # absolute id of depth-d cells: offset = (4^d - 1) / 3 pattern via parents
+        base = 0
+        for _ in range(d):
+            base = base * 4 + 1
+        abs_ids = all_ids + base
+        bx1, by1, bx2, by2 = C.cell_bbox(abs_ids, d)
+        contains = (
+            (x[:, None] >= bx1[None, :])
+            & (x[:, None] <= bx2[None, :])
+            & (y[:, None] >= by1[None, :])
+            & (y[:, None] <= by2[None, :])
+        )
+        for i in range(x.shape[0]):
+            want = set(abs_ids[contains[i]].tolist())
+            got = set(t for t in cand[i].tolist() if t >= 0)
+            got_d = {g for g in got if g >= base and g < base + 4**d}
+            assert got_d == want, f"point {i} depth {d}: {got_d} != {want}"
+
+
+def test_sql_expr_matches_float32_kernel(spark, small_points):
+    """The exact-integer SQL form (shared with the DuckDB oracle) agrees with
+    the float32 kernel for depth ≤ 10 on integer-valued coordinates."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    x, y = small_points
+    pdf = pd.DataFrame({"x": x.astype(np.float64), "y": y.astype(np.float64)})
+    df = spark.createDataFrame(pdf)
+    for depth in (1, 4, 8, 10):
+        got = (
+            df.select(F.expr(C.cell_id_sql("x", "y", depth)).alias("cid"))
+            .toPandas()["cid"]
+            .to_numpy()
+        )
+        want = C.encode_cell_ids(x, y, depth)
+        assert np.array_equal(got, want), f"depth={depth}"
+
+
+def test_oracle_tree_invariants(small_points):
+    x, y = small_points
+    root = oracle.build_quadtree(x, y)
+    rows = oracle.cells_relation(root)
+    by_id = {r["cell_id"]: r for r in rows}
+    # count conservation at every split (A2) + leaf bound
+    for r in rows:
+        if not r["is_leaf"]:
+            kids = [by_id[r["cell_id"] * 4 + k] for k in (1, 2, 3, 4)]
+            assert sum(k["count"] for k in kids) == r["count"]
+    assert by_id[0]["count"] == x.shape[0]

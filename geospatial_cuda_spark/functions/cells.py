@@ -107,6 +107,47 @@ def cell_digits(ids: np.ndarray, depth: int) -> np.ndarray:
     return out
 
 
+def cell_to_colrow(ids: np.ndarray, depth: int) -> tuple[np.ndarray, np.ndarray]:
+    """(col, row) grid coordinates of same-depth cells (col 0 = left/BL side,
+    row 0 = bottom): inverse digit interleave."""
+    digs = cell_digits(np.asarray(ids, dtype=np.int64), depth)
+    col = np.zeros(digs.shape[0], dtype=np.int64)
+    row = np.zeros(digs.shape[0], dtype=np.int64)
+    for d in range(depth):
+        k = digs[:, d] - 1
+        col = col * 2 + (k % 2)
+        row = row * 2 + (k // 2)
+    return col, row
+
+
+def colrow_to_cell(col: np.ndarray, row: np.ndarray, depth: int) -> np.ndarray:
+    """Inverse of cell_to_colrow (inputs must be within [0, 2^depth))."""
+    col = np.asarray(col, dtype=np.int64)
+    row = np.asarray(row, dtype=np.int64)
+    ids = np.zeros(col.shape[0], dtype=np.int64)
+    for d in range(depth - 1, -1, -1):
+        cb = (col >> d) & 1
+        rb = (row >> d) & 1
+        ids = ids * 4 + rb * 2 + cb + 1
+    return ids
+
+
+def neighbor_ring(ids: np.ndarray, depth: int, radius: int = 1) -> np.ndarray:
+    """(n, (2r+1)²) same-depth neighbor cell ids (incl. self); -1 where the
+    neighbor falls outside the domain grid."""
+    col, row = cell_to_colrow(ids, depth)
+    size = 1 << depth
+    offs = np.arange(-radius, radius + 1, dtype=np.int64)
+    dc, dr = np.meshgrid(offs, offs, indexing="ij")
+    nc = col[:, None] + dc.ravel()[None, :]
+    nr = row[:, None] + dr.ravel()[None, :]
+    valid = (nc >= 0) & (nc < size) & (nr >= 0) & (nr < size)
+    out = np.full(nc.shape, -1, dtype=np.int64)
+    flat_c, flat_r = nc[valid], nr[valid]
+    out[valid] = colrow_to_cell(flat_c, flat_r, depth)
+    return out
+
+
 def cell_bbox(
     ids: np.ndarray,
     depth: int,

@@ -1,0 +1,216 @@
+"""Deduplication family for the training-data pipeline — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale shape: every variant is a grouped aggregation or a bucketed self-join —
+no all-pairs comparison ever touches the full corpus. Hash functions are
+md5-based so Spark and DuckDB compute identical values (no engine-native
+hash() anywhere a result crosses the oracle boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint_col, shingles_expr
+from ..functions.vectors import cosine_col
+
+
+def exact_dedup_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, keep_id): one representative (min id) per
+    normalized-text group. Pure hash-groupBy — one shuffle on the digest."""
+    return (
+        df.select(fingerprint_col(F.col(text)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingle_set(df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(shingles_expr(text, k))).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per doc with h0..h{n-1}: lexicographic-min md5 of the salted
+    shingle — a valid min-wise hash family, identical across engines."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_buckets(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, bucket): banding — docs sharing any (band, bucket) are
+    candidate near-dups."""
+    out = []
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        out.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    a = buckets.withColumnRenamed(id_col, "a")
+    b = buckets.withColumnRenamed(id_col, "b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs via shingle-set joins."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.withColumnRenamed(id_col, "a")
+    sb = shingles.withColumnRenamed(id_col, "b")
+    inter = (
+        pairs.join(sa, on="a")
+        .join(sb, on=["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sza"), on="a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "szb"), on="b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_minhash(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band-bucket
+    join → exact-Jaccard verify. Returns pairs (a < b) with jaccard ≥ threshold."""
+    sh = shingle_set(df, text, id_col, k).persist()
+    sigs = minhash_signatures(sh, num_hashes, id_col)
+    pairs = candidate_pairs(lsh_buckets(sigs, bands, num_hashes // bands, id_col))
+    return jaccard_pairs(sh, pairs, id_col).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, bits: int = 16, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash): token-weighted sign fingerprint. Token hash = first 15
+    hex chars of md5 (engine-portable); bit b of the fingerprint = sign of the
+    Σ±1 vote over tokens."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text))), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    toks = toks.withColumn("_h", h)
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = (bit * F.lit(1 << b)).cast("bigint")
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def near_dup_simhash(
+    df: DataFrame,
+    max_hamming: int = 2,
+    bits: int = 16,
+    text: str = "text",
+    id_col: str = "doc_id",
+    nibbles: int = 4,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming. Blocking: pairs must share
+    at least one of ``nibbles`` bit-bands (guaranteed when max_hamming <
+    nibbles), so the self-join is band-bucketed, never all-pairs."""
+    s = simhash(df, bits, text, id_col).persist()
+    span = bits // nibbles
+    blocks = None
+    for nb in range(nibbles):
+        part = s.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(nb).alias("band"),
+            F.shiftright(F.col("simhash"), nb * span).bitwiseAND(F.lit((1 << span) - 1)).alias("key"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    a = blocks.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "band", "key")
+    b = blocks.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "band", "key")
+    return (
+        a.join(b, on=["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    block: str = "label",
+    vec_id: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs within a blocking key (label here; sign-bit LSH
+    for unlabeled corpora — see ann_ivf's bucketing). Never all-pairs."""
+    a = embeddings.select(
+        F.col(block), F.col(vec_id).alias("a"), F.col(emb).alias("va")
+    )
+    b = embeddings.select(
+        F.col(block), F.col(vec_id).alias("b"), F.col(emb).alias("vb")
+    )
+    return (
+        a.join(b, on=block)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .where(F.col("sim") >= threshold)
+        .select(block, "a", "b", "sim")
+    )

@@ -1,0 +1,194 @@
+"""kNN (J4, spatial) and ANN (embedding similarity search).
+
+Spatial kNN
+-----------
+- ``knn_bruteforce``: broadcast queries × all points + window top-k — the
+  exact baseline, O(Q·N) but embarrassingly parallel (never collect).
+- ``knn_cells``: the scale path — candidates from the query's quadkey cell at
+  a chosen depth plus an expanding neighbor ring, equi-joined against the
+  cell-clustered points, then exact distance top-k. Exact whenever the kth
+  neighbor lies within the ring guarantee radius (ring r at depth d covers
+  distance ≥ r·extent/2^d from the query's cell); the result flags rows where
+  that bound is not met so callers can escalate the ring.
+
+Embedding ANN
+-------------
+- ``ann_bruteforce``: exact top-k cosine, JVM-side dot products
+  (zip_with + aggregate — no Python in the scoring loop).
+- ``ann_ivf``: IVF-style two-stage search: deterministic centroids
+  (first n_centroids vectors), vectorized Arrow assignment, probe the
+  ``n_probe`` nearest centroid buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+from .. import MAX_DEPTH
+from ..functions import cells as C
+from ..functions.vectors import cosine_col
+from .quadtree import ancestor_col
+
+
+def _topk(joined: DataFrame, qid: str, k: int, dist_col, order_tiebreak: str) -> DataFrame:
+    w = Window.partitionBy(qid).orderBy(dist_col.asc(), F.col(order_tiebreak).asc())
+    return (
+        joined.withColumn("dist2", dist_col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    qid: str = "qid",
+    pid: str = "pid",
+) -> DataFrame:
+    """Exact kNN by squared distance; ties broken by pid. Queries are the
+    small side — broadcast so the big points table never shuffles."""
+    q = F.broadcast(
+        queries.select(qid, F.col("x").alias("_qx"), F.col("y").alias("_qy"))
+    )
+    joined = points.crossJoin(q)
+    d2 = (F.col("x") - F.col("_qx")) * (F.col("x") - F.col("_qx")) + (
+        F.col("y") - F.col("_qy")
+    ) * (F.col("y") - F.col("_qy"))
+    return _topk(joined, qid, k, d2, pid).select(
+        qid, pid, "x", "y", F.col("dist2").cast("double").alias("dist2"), "rank"
+    )
+
+
+def knn_cells(
+    queries: DataFrame,
+    points_with_cell: DataFrame,
+    k: int,
+    depth: int,
+    radius: int = 1,
+    qid: str = "qid",
+    pid: str = "pid",
+    max_depth: int = MAX_DEPTH,
+) -> DataFrame:
+    """Cell-pruned kNN: equi-join on depth-``depth`` cells from the query's
+    (2·radius+1)² neighbor ring. Adds ``exact`` = kth distance is guaranteed
+    exact (fits within the ring's covered radius)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _ring(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        ids = C.encode_cell_ids(xs.to_numpy(), ys.to_numpy(), depth)
+        ring = C.neighbor_ring(ids, depth, radius)
+        return pd.Series([r[r >= 0] for r in ring])
+
+    cand_cells = queries.select(
+        qid,
+        F.col("x").alias("_qx"),
+        F.col("y").alias("_qy"),
+        F.explode(_ring(F.col("x"), F.col("y"))).alias("_cell"),
+    )
+    pts = points_with_cell.withColumn(
+        "_cell", ancestor_col(F.col("cell_id"), max_depth - depth)
+    )
+    joined = cand_cells.join(pts, on="_cell", how="inner")
+    d2 = (F.col("x") - F.col("_qx")) * (F.col("x") - F.col("_qx")) + (
+        F.col("y") - F.col("_qy")
+    ) * (F.col("y") - F.col("_qy"))
+    topk = _topk(joined, qid, k, d2, pid)
+    # ring guarantee: every point within `guarantee` of the query is in some
+    # candidate cell (the query sits inside its own cell; the ring extends
+    # `radius` full cells beyond it on every side).
+    cell_extent = 1_000_000.0 / (1 << depth)
+    guarantee = (radius * cell_extent) ** 2
+    counts = joined.groupBy(qid).agg(F.count(F.lit(1)).alias("_ncand"))
+    return (
+        topk.join(counts, on=qid)
+        .withColumn(
+            "exact",
+            (F.col("_ncand") >= k) & (F.col("dist2") <= F.lit(guarantee)),
+        )
+        .select(qid, pid, "x", "y", F.col("dist2").cast("double"), "rank", "exact")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding ANN
+# ---------------------------------------------------------------------------
+
+
+def ann_bruteforce(
+    embeddings: DataFrame,
+    query_vecs: DataFrame,
+    k: int,
+    vec_id: str = "vec_id",
+    emb: str = "embedding",
+    qid: str = "q_vec_id",
+) -> DataFrame:
+    """Exact top-k cosine: broadcast queries, JVM-side dot/norm, window top-k.
+    Output sim is rounded to 6 dp; ranking uses the rounded value with vec_id
+    tie-break so results are reproducible across engines."""
+    q = F.broadcast(query_vecs.select(F.col(vec_id).alias(qid), F.col(emb).alias("_qv")))
+    joined = embeddings.crossJoin(q).where(F.col(vec_id) != F.col(qid))
+    sim = F.round(cosine_col(F.col(emb), F.col("_qv")), 6)
+    w = Window.partitionBy(qid).orderBy(F.col("sim").desc(), F.col(vec_id).asc())
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid, vec_id, "sim", "rank")
+    )
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    query_vecs: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_id: str = "vec_id",
+    emb: str = "embedding",
+    qid: str = "q_vec_id",
+) -> DataFrame:
+    """IVF-bucketed ANN. Centroids are the first ``n_centroids`` vectors by
+    id (deterministic, no RNG); assignment is one Arrow matmul per batch; the
+    search probes only the ``n_probe`` closest buckets per query. Recall < 1
+    by construction — benchmark against ann_bruteforce for the quality gate."""
+    cents = np.array(
+        [
+            r[emb]
+            for r in embeddings.orderBy(vec_id).limit(n_centroids).collect()
+        ],
+        dtype=np.float64,
+    )
+    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def _bucket_udf(top: int):
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _assign(vs: pd.Series) -> pd.Series:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cents_n.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+            return pd.Series([row.astype(np.int32) for row in order])
+
+        return _assign
+
+    tagged = embeddings.withColumn(
+        "_bucket", F.element_at(_bucket_udf(1)(F.col(emb)), 1)
+    )
+    probes = query_vecs.select(
+        F.col(vec_id).alias(qid),
+        F.col(emb).alias("_qv"),
+        F.explode(_bucket_udf(n_probe)(F.col(emb))).alias("_bucket"),
+    )
+    joined = tagged.join(probes, on="_bucket").where(F.col(vec_id) != F.col(qid))
+    sim = F.round(cosine_col(F.col(emb), F.col("_qv")), 6)
+    w = Window.partitionBy(qid).orderBy(F.col("sim").desc(), F.col(vec_id).asc())
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid, vec_id, "sim", "rank")
+    )

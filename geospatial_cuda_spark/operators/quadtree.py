@@ -115,23 +115,14 @@ def with_cell_id(
     return df.withColumn(out, C.cell_id_col(F.col(x), F.col(y), depth, domain))
 
 
-def build_cells(
+def counts_from_points(
     points: DataFrame,
     x: str = "x",
     y: str = "y",
     domain=DOMAIN,
-    min_points: int = MIN_POINTS,
-    min_distance: float = MIN_DISTANCE,
     max_depth: int = MAX_DEPTH,
 ) -> DataFrame:
-    """Build the quadtree as a relation.
-
-    Returns ``(cell_id long, depth int, min_x/min_y/max_x/max_y float,
-    count long, is_leaf boolean)`` — semantically identical to the relation
-    prepare_boundaries emits (cuda/kernels.cu:517-537), including zero-count
-    leaf children of interior nodes.
-    """
-    spark = points.sparkSession
+    """(cell_id, depth, count) for every OCCUPIED prefix cell at every depth."""
     # One points-wide projection + one shuffle: counts of occupied finest cells.
     finest = (
         with_cell_id(points.select(x, y), max_depth, x, y, "cell_id", domain)
@@ -148,16 +139,25 @@ def build_cells(
     ancestors = F.array(
         *[ancestor_col(F.col("cell_id"), k) for k in range(max_depth + 1)]
     )
-    counts_all = (
+    return (
         finest.select(F.posexplode(ancestors).alias("k", "cell_id"), "count")
         .select(
             "cell_id", (F.lit(max_depth) - F.col("k")).cast("int").alias("depth"), "count"
         )
         .groupBy("cell_id", "depth")
         .agg(F.sum("count").alias("count"))
-        .persist()
     )
 
+
+def cells_from_counts(
+    counts_all: DataFrame,
+    min_points: int = MIN_POINTS,
+    min_distance: float = MIN_DISTANCE,
+    max_depth: int = MAX_DEPTH,
+    domain=DOMAIN,
+) -> DataFrame:
+    """Derive the tree relation from prefix counts (cells-only work)."""
+    spark = counts_all.sparkSession
     with_geom = counts_all.withColumn(
         "g", bbox_struct_col(F.col("cell_id"), F.col("depth"), domain, min_distance)
     ).select("cell_id", "depth", "count", "g.*")
@@ -211,3 +211,22 @@ def build_cells(
         ).alias("is_leaf"),
     )
     return cells
+
+def build_cells(
+    points: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    domain=DOMAIN,
+    min_points: int = MIN_POINTS,
+    min_distance: float = MIN_DISTANCE,
+    max_depth: int = MAX_DEPTH,
+) -> DataFrame:
+    """Build the quadtree as a relation.
+
+    Returns ``(cell_id long, depth int, min_x/min_y/max_x/max_y float,
+    count long, is_leaf boolean)`` — semantically identical to the relation
+    prepare_boundaries emits (cuda/kernels.cu:517-537), including zero-count
+    leaf children of interior nodes.
+    """
+    counts_all = counts_from_points(points, x, y, domain, max_depth).persist()
+    return cells_from_counts(counts_all, min_points, min_distance, max_depth, domain)

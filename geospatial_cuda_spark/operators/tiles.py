@@ -1,0 +1,99 @@
+"""Raster↔vector tile assignment (M6): map images onto web-mercator tiles
+and slice decoded pixels across tile boundaries.
+
+Model: an image is anchored with its bottom-left pixel at its geotag, one
+domain unit per pixel, covering [x, x+w) × [y, y+h). A pixel belongs to the
+half-open tile containing its lower-left corner. At practical zooms an image
+straddles at most 2×2 tiles, so slicing emits 1–4 rows per image.
+
+Physical shape: tile ASSIGNMENT is pure Column arithmetic (JVM). SLICING
+decodes pixels, so it runs in mapInPandas over Arrow batches: the split
+positions are found with numpy on the footprint coordinates and each output
+slice is a contiguous ndarray view — the only per-row Python is the loop over
+the ≤4 slices of each image. Output rows keep the caption so the
+caption-equality invariant is checkable after the widest shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.geo import EXTENT, tile_xy_cols
+from ..functions.images import decode_image, encode_image
+
+TILE_SLICE_SCHEMA = (
+    "image_id string, tile_x int, tile_y int, zoom int, px0 int, py0 int, "
+    "tw int, th int, tile_bytes binary, caption string"
+)
+
+
+def assign_tiles(df: DataFrame, zoom: int, x: str = "x", y: str = "y") -> DataFrame:
+    tx, ty = tile_xy_cols(F.col(x), F.col(y), zoom)
+    return df.withColumn("tile_x", tx).withColumn("tile_y", ty).withColumn(
+        "zoom", F.lit(zoom).cast("int")
+    )
+
+
+def _axis_cuts(start: float, length: int, tile_size: float) -> list[tuple[int, int, int]]:
+    """[(offset, span, tile_index)] segments of [start, start+length) split at
+    multiples of tile_size (pixel p in tile floor((start+p)/tile_size))."""
+    out = []
+    p = 0
+    while p < length:
+        t = int(np.floor((start + p) / tile_size))
+        # first pixel of the next tile: smallest q > p with start+q >= (t+1)*size
+        nxt = int(np.ceil((t + 1) * tile_size - start))
+        q = min(max(nxt, p + 1), length)
+        out.append((p, q - p, t))
+        p = q
+    return out
+
+
+def slice_tiles(images_with_geotag: DataFrame, zoom: int) -> DataFrame:
+    """images (image_id, bytes, w, h, fmt, caption, x, y) → per-tile slices.
+    Slices are re-encoded in the image's own fmt (raw stays lossless; rle
+    re-quantizes already-quantized pixels — idempotent)."""
+    n = 1 << zoom
+    tile_size = EXTENT / n
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "image_id", "tile_x", "tile_y", "zoom", "px0", "py0", "tw", "th",
+                "tile_bytes", "caption",
+            )}
+            for img_id, buf, w, h, fmt, cap, x, y in zip(
+                b["image_id"], b["bytes"], b["w"], b["h"], b["fmt"], b["caption"],
+                b["x"], b["y"],
+            ):
+                px = decode_image(buf, int(w), int(h), str(fmt))  # (h, w, 3), row 0 = bottom
+                for cx0, cw, tx in _axis_cuts(float(x), int(w), tile_size):
+                    for cy0, ch, ty_raw in _axis_cuts(float(y), int(h), tile_size):
+                        sl = np.ascontiguousarray(px[cy0 : cy0 + ch, cx0 : cx0 + cw])
+                        rows["image_id"].append(img_id)
+                        rows["tile_x"].append(min(max(tx, 0), n - 1))
+                        rows["tile_y"].append(n - 1 - min(max(ty_raw, 0), n - 1))
+                        rows["zoom"].append(zoom)
+                        rows["px0"].append(cx0)
+                        rows["py0"].append(cy0)
+                        rows["tw"].append(cw)
+                        rows["th"].append(ch)
+                        rows["tile_bytes"].append(encode_image(sl.ravel(), str(fmt)))
+                        rows["caption"].append(cap)
+            yield pd.DataFrame(rows)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "x", "y"]
+    return images_with_geotag.select(*cols).mapInPandas(gen, TILE_SLICE_SCHEMA)
+
+
+def reassemble(slices_pdf: pd.DataFrame, w: int, h: int, fmt: str) -> np.ndarray:
+    """Test helper: paste one image's tile slices back into an (h, w, 3) buffer."""
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for _, r in slices_pdf.iterrows():
+        sl = decode_image(r["tile_bytes"], int(r["tw"]), int(r["th"]), fmt)
+        out[r["py0"] : r["py0"] + r["th"], r["px0"] : r["px0"] + r["tw"]] = sl
+    return out

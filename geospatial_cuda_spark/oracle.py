@@ -179,17 +179,26 @@ def point_membership(
 
 
 def ray_cast_pip(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
-    """Even-odd ray-cast point-in-polygon, boundary-inclusive for horizontal
-    edges handled by the standard crossing rule; float64. poly: (k, 2)."""
+    """Boundary-inclusive even-odd point-in-polygon, scalar per point (the
+    slow-but-obvious golden form; the engine kernel is batch-vectorized)."""
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    inside = np.zeros(px.shape[0], dtype=bool)
+    out = np.zeros(px.shape[0], dtype=bool)
     k = poly.shape[0]
-    for i in range(k):
-        x1, y1 = poly[i]
-        x2, y2 = poly[(i + 1) % k]
-        crosses = (y1 > py) != (y2 > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
-        inside ^= crosses & (px < xint)
-    return inside
+    for j in range(px.shape[0]):
+        x, y = px[j], py[j]
+        inside = False
+        on_edge = False
+        for i in range(k):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % k]
+            if (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) == 0.0 and (
+                min(x1, x2) <= x <= max(x1, x2) and min(y1, y2) <= y <= max(y1, y2)
+            ):
+                on_edge = True
+            if (y1 > y) != (y2 > y):
+                xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if x < xint:
+                    inside = not inside
+        out[j] = inside or on_edge
+    return out

@@ -1,0 +1,86 @@
+"""Image codecs, datagen integrity, tile assignment + slicing invariants:
+conservation through shuffles, caption equality, PSNR ≥ 40 dB for the lossy
+path, exact pixel reassembly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_cuda_spark.datagen import images_table, with_geotag
+from geospatial_cuda_spark.functions import images as I
+from geospatial_cuda_spark.functions.geo import tile_xy_np
+from geospatial_cuda_spark.operators import tiles as T
+from geospatial_cuda_spark.util import geotag_from_phash, splitmix64
+
+
+def test_rle_roundtrip_and_psnr():
+    for i in (0, 4, 17):
+        px = I.gen_pixels(i, 24, 16)
+        assert np.array_equal(I.rle_decode(I.rle_encode(px)), px & 0xFE)
+        assert I.psnr(px, I.rle_decode(I.rle_encode(px))) >= 40.0
+
+
+def test_unknown_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        I.decode_image(b"", 1, 1, "jpeg")
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return with_geotag(images_table(spark, 300, 8)).persist()
+
+
+def test_images_deterministic_and_geotag_consistent(images):
+    pdf = images.orderBy("image_id").limit(50).toPandas()
+    # Spark-side geotag (built-in unsigned-mod arithmetic) == numpy derivation
+    x_np, y_np = geotag_from_phash(pdf["phash"].to_numpy())
+    assert np.array_equal(pdf["x"].to_numpy(), x_np)
+    assert np.array_equal(pdf["y"].to_numpy(), y_np)
+    # phash is splitmix64(i)
+    assert pdf["phash"][3] == np.int64(splitmix64(np.array([3], np.uint64))[0])
+    # decoded pixels match the generator (raw exact, rle quantized)
+    r = pdf.iloc[0]
+    px = I.gen_pixels(0, int(r.w), int(r.h))
+    dec = I.decode_image(r["bytes"], int(r.w), int(r.h), r.fmt).ravel()
+    assert I.psnr(px, dec) >= 40.0
+
+
+def test_tile_assignment_matches_numpy(images):
+    for zoom in (2, 4):
+        pdf = T.assign_tiles(images, zoom).select("x", "y", "tile_x", "tile_y").toPandas()
+        tx, ty = tile_xy_np(pdf["x"].to_numpy(), pdf["y"].to_numpy(), zoom)
+        assert np.array_equal(pdf["tile_x"].to_numpy(), tx)
+        assert np.array_equal(pdf["tile_y"].to_numpy(), ty)
+
+
+@pytest.mark.parametrize("zoom", [2, 4, 14])
+def test_tile_slices_reassemble(images, zoom):
+    """At zoom 14 (tile 61 units wide < image size) images straddle tiles —
+    slices must reassemble to the decoded original exactly; captions ride
+    along unharmed; PSNR gate holds vs pre-encode pixels."""
+    slices = T.slice_tiles(images, zoom).persist()
+    pdf = slices.toPandas()
+    src = images.select("image_id", "bytes", "w", "h", "fmt", "caption").toPandas()
+    assert set(pdf.image_id) == set(src.image_id)  # conservation
+    for _, r in src.iterrows():
+        mine = pdf[pdf.image_id == r.image_id]
+        assert (mine.caption == r.caption).all()
+        dec = I.decode_image(r["bytes"], int(r.w), int(r.h), r.fmt)
+        re = T.reassemble(mine, int(r.w), int(r.h), r.fmt)
+        assert np.array_equal(re, dec), r.image_id
+    # per-image slice count is 1..4 at coarse zooms, bounded by straddle count
+    per = pdf.groupby("image_id").size()
+    if zoom <= 4:
+        assert per.max() <= 4
+    slices.unpersist()
+
+
+def test_lossy_psnr_gate_end_to_end(images):
+    pdf = T.slice_tiles(images.where(F.col("fmt") == "rle"), 4).toPandas()
+    src = images.where(F.col("fmt") == "rle").toPandas()
+    for _, r in src.head(10).iterrows():
+        raw = I.gen_pixels(int(r.image_id[3:]), int(r.w), int(r.h)).reshape(int(r.h), int(r.w), 3)
+        re = T.reassemble(pdf[pdf.image_id == r.image_id], int(r.w), int(r.h), "rle")
+        assert I.psnr(raw, re) >= 40.0

@@ -1,0 +1,96 @@
+"""Dedup family + text kernels: planted duplicates are found, non-dups are
+not; SimHash blocking is lossless up to the hamming budget."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_cuda_spark.functions import text as TXT
+from geospatial_cuda_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "shuffles partitions and prunes row groups for the scan"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different text about tile pyramids and mercator zoom"),
+        (4, "el rapido zorro marron salta sobre el perro que duerme la siesta"),
+        (5, base + " with an extra tail appended here"),  # near dup
+        (6, "  THE  quick   brown fox jumps over the lazy dog while the spark "
+            "engine shuffles partitions and prunes row groups for the scan "),  # normalized-exact dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_exact_dedup_groups(docs):
+    g = D.exact_dedup_groups(docs).where(F.col("n_docs") > 1).collect()
+    assert len(g) == 1 and g[0]["n_docs"] == 3 and g[0]["keep_id"] == 0
+
+
+def test_minhash_near_dup_finds_planted_pairs(docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.near_dup_minhash(docs, threshold=0.7).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_simhash_near_dup(docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in D.near_dup_simhash(docs, 3).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_blocking_is_lossless_within_budget(docs):
+    """Any pair with hamming ≤ nibbles-1 shares ≥1 nibble (pigeonhole) — the
+    banded join must equal the all-pairs filter."""
+    s = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    blocked = {(r["a"], r["b"]) for r in D.near_dup_simhash(docs, 3).collect()}
+    brute = {
+        (a, b)
+        for a in s
+        for b in s
+        if a < b and bin(s[a] ^ s[b]).count("1") <= 3
+    }
+    assert blocked == brute
+
+
+def test_embedding_near_dup_blocked(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.1], 1),
+        (1, [1.0, 0.01, 0.0, 0.1], 1),  # near dup of 0, same block
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [1.0, 0.0, 0.0, 0.1], 2),  # identical to 0 but other block → unseen
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["a"], r["b"]) for r in D.embedding_near_dups(df, 0.999).collect()}
+    assert got == {(0, 1)}
+
+
+def test_text_kernels_basics(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the hat of things"), (1, ""), (2, "   "), (3, "el la que pasa")],
+        "doc_id long, text string",
+    )
+    got = df.select(
+        "doc_id",
+        TXT.token_count_col(F.col("text")).alias("n_tok"),
+        TXT.lang_id_col(F.col("text")).alias("lang"),
+        TXT.quality_score_col(F.col("text")).alias("q"),
+        TXT.fingerprint_col(F.col("text")).alias("fp"),
+    ).collect()
+    by = {r["doc_id"]: r for r in got}
+    assert by[0]["n_tok"] == 7 and by[0]["lang"] == "en"
+    assert by[1]["n_tok"] == 0 and by[2]["n_tok"] == 0
+    assert by[3]["lang"] == "es"
+    assert 0.0 <= by[0]["q"] <= 1.0
+    assert by[1]["fp"] == by[2]["fp"]  # whitespace-normalized identity

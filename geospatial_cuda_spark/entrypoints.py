@@ -1,0 +1,772 @@
+"""Driver contract implementation: flagship pipeline + per-operator queries
+with DuckDB oracle SQL.
+
+Conventions that keep the cross-engine value-hash stable:
+- coordinates derived from TPC-H keys with pure integer arithmetic (exact in
+  Spark, DuckDB, and the float32 kernels alike for the depths used);
+- every aggregate/computed column aliased identically on both sides;
+- counts cast to BIGINT, depths/ranks to INT, similarity scores rounded to
+  6 dp on both sides (the raw doubles were verified bit-identical, rounding
+  is a seatbelt);
+- spatial queries cap quadtree depth at 8, where the reference's float32
+  midpoints are exactly representable (boundaries k·1e6/2^d with
+  k·15625 < 2^24), so the float32 engine path and the integer SQL oracle
+  agree exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions import cells as C
+from .functions import geo as G
+from .functions import text as TXT
+from .functions.vectors import cosine_col
+from .operators import dedup as D
+from .operators import knn as K
+from .operators import pip as P
+from .operators import quadtree as QT
+from .operators import search as S
+from .operators import tiles as T
+
+# ---------------------------------------------------------------------------
+# Shared derivations (identical integer arithmetic in Spark exprs and SQL)
+# ---------------------------------------------------------------------------
+
+LX = "CAST((l_orderkey * 7919 + l_linenumber * 104729) % 1000000 AS BIGINT)"
+LY = "CAST((l_partkey * 6101 + l_suppkey * 9973) % 1000000 AS BIGINT)"
+LPID = "CAST(l_orderkey * 10 + l_linenumber AS BIGINT)"
+
+QX = "CAST((c_custkey * 7919 + 13) % 1000000 AS BIGINT)"
+QY = "CAST((c_custkey * 104729 + 37) % 1000000 AS BIGINT)"
+
+EX = "CAST((event_id * 7919) % 1000000 AS BIGINT)"
+EY = "CAST((user_id * 104729 + event_id) % 1000000 AS BIGINT)"
+
+CELL_DEPTH = 8  # float32 == exact integer arithmetic holds through depth 10
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select(
+        F.expr(LPID).alias("pid"),
+        F.expr(LX).cast("float").alias("x"),
+        F.expr(LY).cast("float").alias("y"),
+    )
+
+
+def _queries(spark: SparkSession, sf_dir: str, limit: int = 200) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= limit)
+        .select(
+            F.col("c_custkey").cast("long").alias("qid"),
+            F.expr(QX).cast("float").alias("x"),
+            F.expr(QY).cast("float").alias("y"),
+        )
+    )
+
+
+def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QT.build_cells(_points(spark, sf_dir), max_depth=CELL_DEPTH)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+
+def _ancestor_sql(expr: str, k: int) -> str:
+    for _ in range(k):
+        expr = f"CAST(FLOOR(({expr} - 1) / 4.0) AS BIGINT)"
+    return expr
+
+
+def _counts_cte(max_depth: int = CELL_DEPTH) -> str:
+    """CTEs pts/c{D}/counts over lineitem-derived points."""
+    per_depth = [
+        f"SELECT {_ancestor_sql('cell_id', max_depth - d)} AS cell_id, "
+        f"{d} AS depth, CAST(SUM(cnt) AS BIGINT) AS cnt FROM cfin GROUP BY 1"
+        for d in range(max_depth + 1)
+    ]
+    return (
+        f"pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),\n"
+        f"cfin AS (SELECT {C.cell_id_sql('x', 'y', max_depth)} AS cell_id, "
+        "COUNT(*) AS cnt FROM pts GROUP BY 1),\n"
+        "counts AS (" + "\nUNION ALL\n".join(per_depth) + ")"
+    )
+
+
+def _cells_cte(max_depth: int = CELL_DEPTH, min_points: int = 5) -> str:
+    """CTE cells(cell_id, depth, cnt, is_leaf) — the engine's own scalable
+    algorithm (interior-parent reality test) rendered in SQL."""
+    return (
+        _counts_cte(max_depth) + ",\n"
+        f"interior AS (SELECT cell_id, depth FROM counts WHERE cnt >= {min_points} "
+        f"AND depth < {max_depth}),\n"
+        "children AS (SELECT i.cell_id * 4 + k.k AS cell_id, i.depth + 1 AS depth "
+        "FROM interior i CROSS JOIN (VALUES (1), (2), (3), (4)) k(k)),\n"
+        "cells AS (SELECT CAST(0 AS BIGINT) AS cell_id, 0 AS depth, "
+        "(SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) FROM cfin) AS cnt\n"
+        " UNION ALL SELECT ch.cell_id, ch.depth, CAST(COALESCE(c.cnt, 0) AS BIGINT) "
+        "FROM children ch LEFT JOIN counts c ON ch.cell_id = c.cell_id)"
+    )
+
+
+def _colrow_id_sql(col: str, row: str, depth: int) -> str:
+    """Cell id from final (col,row) at ``depth`` (bit-prefix digits)."""
+    if depth == 0:
+        return "CAST(0 AS BIGINT)"
+    terms = []
+    for level in range(1, depth + 1):
+        shift = depth - level
+        digit = f"(((({row}) >> {shift}) % 2) * 2 + ((({col}) >> {shift}) % 2) + 1)"
+        terms.append(f"{digit} * {4 ** shift}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _col_left_sql(x: str, d: int) -> str:
+    return C.axis_bin_sql(x, d)
+
+
+def _col_right_sql(x: str, d: int) -> str:
+    n = 1 << d
+    return (
+        f"LEAST(CAST(FLOOR(CAST({x} AS BIGINT) * {n} / 1000000.0) AS BIGINT), {n - 1})"
+    )
+
+
+def _candidate_ids_sql(x: str, y: str, max_depth: int) -> str:
+    """SQL array of all closed-containment candidate cell ids, depths
+    0..max_depth (≤4 per depth: L/R tie-break chains per axis)."""
+    ids = ["CAST(0 AS BIGINT)"]
+    for d in range(1, max_depth + 1):
+        for cx in (_col_left_sql(x, d), _col_right_sql(x, d)):
+            for cy in (_col_left_sql(y, d), _col_right_sql(y, d)):
+                ids.append(_colrow_id_sql(cx, cy, d))
+    return "[" + ", ".join(ids) + "]"
+
+
+def _queries_cte(limit: int = 200) -> str:
+    return (
+        f"queries AS (SELECT CAST(c_custkey AS BIGINT) AS qid, {QX} AS x, {QY} AS y "
+        f"FROM customer WHERE c_custkey <= {limit})"
+    )
+
+
+def _search_cte(max_depth: int = CELL_DEPTH) -> str:
+    """CTE results(qid, found_cell_id) given CTEs queries + cells."""
+    return (
+        "cand AS (SELECT qid, unnest("
+        + _candidate_ids_sql("x", "y", max_depth)
+        + ") AS cid FROM queries),\n"
+        "hits AS (SELECT c.qid, MAX(ce.cell_id) AS mx FROM cand c "
+        "JOIN cells ce ON c.cid = ce.cell_id GROUP BY c.qid),\n"
+        "results AS (SELECT q.qid, CAST(COALESCE(h.mx, -1) AS BIGINT) AS found_cell_id "
+        "FROM queries q LEFT JOIN hits h ON q.qid = h.qid)"
+    )
+
+
+def _cell_at_depth_case_sql(x: str, y: str, depth_expr: str, max_depth: int) -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {C.cell_id_sql(x, y, d)}" for d in range(max_depth + 1)
+    )
+    return f"(CASE {depth_expr} {whens} END)"
+
+
+# ---------------------------------------------------------------------------
+# queries() — Spark implementations (engine code paths)
+# ---------------------------------------------------------------------------
+
+
+def q_quadrant_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+A1: depth-1 quadrant classification + grouped count."""
+    pts = _points(spark, sf_dir)
+    quad = QT.with_cell_id(pts, 1, out="cell_id").select(
+        (F.col("cell_id") - 1).cast("int").alias("quadrant")
+    )
+    return quad.groupBy("quadrant").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+def q_cell_counts_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 over the hierarchy: occupied depth-4 cell histogram."""
+    pts = _points(spark, sf_dir)
+    return (
+        QT.with_cell_id(pts, 4)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_quadtree_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/X6: the adaptive quadtree relation (capped at depth 8)."""
+    return _cells(spark, sf_dir).select(
+        "cell_id", "depth", F.col("count").alias("cnt"), "is_leaf"
+    )
+
+
+def q_quadrant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 via the candidate-chain equi-join strategy."""
+    return S.quadrant_search_prefix(
+        _queries(spark, sf_dir), _cells(spark, sf_dir), max_depth=CELL_DEPTH
+    ).select("qid", S.RESULT_COL)
+
+
+def q_quadrant_search_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 via the reference-shaped broadcast nested-loop strategy."""
+    return S.quadrant_search_broadcast(
+        _queries(spark, sf_dir), _cells(spark, sf_dir)
+    ).select("qid", S.RESULT_COL)
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2: exact point membership in the located quadrant."""
+    pts = _points(spark, sf_dir)
+    # pid can collide in the synthetic lineitem (duplicate order/line pairs),
+    # so the query id derives from the coordinates themselves (unique per
+    # point, duplicates collapse to one query — same rule in the oracle SQL).
+    existing = (
+        pts.where(F.col("pid") % 3001 == 0)
+        .select(
+            (F.col("x").cast("long") * 1_000_000 + F.col("y").cast("long")).alias("qid"),
+            "x",
+            "y",
+        )
+        .distinct()
+    )
+    missing = spark.createDataFrame(
+        [(-1, 123457.0, 654321.0), (-2, 42.0, 777777.0), (-3, 999998.0, 3.0)],
+        "qid long, x float, y float",
+    ).select("qid", F.col("x").cast("float"), F.col("y").cast("float"))
+    queries = existing.unionByName(missing)
+    found = S.point_lookup(
+        queries, QT.with_cell_id(pts, CELL_DEPTH), _cells(spark, sf_dir),
+        max_depth=CELL_DEPTH,
+    )
+    return found.select("qid", S.RESULT_COL, "found")
+
+
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: inclusive bbox predicate + counts."""
+    pts = _points(spark, sf_dir)
+    boxes = [
+        (0, 100_000, 100_000, 400_000, 300_000),
+        (1, 0, 0, 50_000, 50_000),
+        (2, 500_000, 500_000, 1_000_000, 1_000_000),
+    ]
+    out = None
+    for bid, x1, y1, x2, y2 in boxes:
+        part = pts.where(
+            (F.col("x") >= x1) & (F.col("x") <= x2) & (F.col("y") >= y1) & (F.col("y") <= y2)
+        ).select(F.lit(bid).cast("int").alias("box_id"), "pid")
+        out = part if out is None else out.unionByName(part)
+    return out.groupBy("box_id").agg(
+        F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid")
+    )
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: ancestor-count propagation — depth-6 counts rolled up to depth-2."""
+    pts = _points(spark, sf_dir)
+    d6 = QT.with_cell_id(pts, 6).groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d6.select(QT.ancestor_col(F.col("cell_id"), 4).alias("cell2"), "n")
+        .groupBy("cell2")
+        .agg(F.sum("n").alias("n_points"))
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: exact kNN (k=5), integer squared distance, pid tie-break. Coords
+    are cast to double so the squared distances stay integer-exact (float32
+    subtraction would round at 1e12 magnitudes)."""
+    as_double = lambda df: df.withColumn("x", F.col("x").cast("double")).withColumn(
+        "y", F.col("y").cast("double")
+    )
+    res = K.knn_bruteforce(
+        as_double(_queries(spark, sf_dir, limit=10)), as_double(_points(spark, sf_dir)), k=5
+    )
+    return res.select(
+        "qid", "pid", F.col("dist2").cast("long").alias("dist2"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 scale path (cell-pruned kNN) — non-SQL; rows-only driver check."""
+    pts = QT.with_cell_id(_points(spark, sf_dir), 18)
+    res = K.knn_cells(_queries(spark, sf_dir, limit=10), pts, k=5, depth=3, radius=2)
+    return res.select("qid", "pid", F.col("dist2").cast("long").alias("dist2"),
+                      F.col("rank").cast("int").alias("rank"), "exact")
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 id layer: zoom-4 web-mercator tile histogram over events points."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(EX).cast("double").alias("x"), F.expr(EY).cast("double").alias("y")
+    )
+    return (
+        T.assign_tiles(ev, 4)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_density_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew probe: 20 densest depth-6 cells (deterministic order)."""
+    pts = _points(spark, sf_dir)
+    return (
+        QT.with_cell_id(pts, 6)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy(F.desc("n_points"), F.asc("cell_id"))
+        .limit(20)
+    )
+
+
+def q_pip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (rect subset): the real PIP kernel; rects ≡ inclusive bbox in SQL."""
+    import numpy as np
+
+    rects = [
+        (0, 100_000, 100_000, 400_000, 300_000),
+        (1, 350_000, 250_000, 700_000, 600_000),
+        (2, 0, 900_000, 120_000, 1_000_000),
+        (3, 880_000, 0, 1_000_000, 90_000),
+    ]
+    polys = [
+        (i, np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], dtype=np.float64))
+        for i, x1, y1, x2, y2 in rects
+    ]
+    hit = P.point_in_polygons(_points(spark, sf_dir), polys)
+    return hit.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid")
+    )
+
+
+def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (convex polygon): ray-cast kernel vs half-plane SQL oracle."""
+    import numpy as np
+
+    hexagon = np.array(
+        [
+            [500_000.0, 200_000.0],
+            [800_000.0, 350_000.0],
+            [800_000.0, 650_000.0],
+            [500_000.0, 800_000.0],
+            [200_000.0, 650_000.0],
+            [200_000.0, 350_000.0],
+        ]
+    )
+    hit = P.point_in_polygons(_points(spark, sf_dir), [(0, hexagon)])
+    return hit.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid")
+    )
+
+
+# ------------------------- training-data pipeline -------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.token_count_col(F.col("text")).cast("int").alias("n_tok"),
+        F.length(F.trim(F.col("text"))).cast("int").alias("n_chr"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(TXT.lang_id_col(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.quality_score_col(F.col("text")).alias("quality"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding: bucket histogram (collision candidates)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sh = D.shingle_set(docs)
+    buckets = D.lsh_buckets(D.minhash_signatures(sh))
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("bucket").alias("n_buckets"),
+        F.min("bucket").alias("min_bucket"),
+    )
+
+
+def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard: 10 most similar pairs among doc_id < 80."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    ids = docs.select(F.col("doc_id").alias("a"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("b"))).where(
+        F.col("a") < F.col("b")
+    )
+    jac = D.jaccard_pairs(D.shingle_set(docs), pairs)
+    return jac.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(10)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return D.simhash(docs)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for the first 5 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") < 5)
+    res = K.ann_bruteforce(emb, qv, k=10)
+    return res.select("q_vec_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (approximate) — rows-only driver check; recall is
+    asserted against the brute-force baseline in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") < 5)
+    res = K.ann_ivf(emb, qv, k=10)
+    return res.select("q_vec_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked cosine near-dup pairs (sim ≥ 0.4 — threshold chosen so the
+    fixture corpus yields non-trivial pairs; production corpora use ≥0.95)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(emb, threshold=0.4).select("label", "a", "b", "sim")
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql() — DuckDB dialect
+# ---------------------------------------------------------------------------
+
+
+def _oracle_sqls() -> dict[str, str]:
+    sqls: dict[str, str] = {}
+
+    sqls["quadrant_counts"] = f"""
+WITH pts AS (SELECT {LX} AS x, {LY} AS y FROM lineitem)
+SELECT CAST({C.cell_id_sql('x', 'y', 1)} - 1 AS INT) AS quadrant,
+       COUNT(*) AS n_points
+FROM pts GROUP BY 1
+"""
+
+    sqls["cell_counts_d4"] = f"""
+WITH pts AS (SELECT {LX} AS x, {LY} AS y FROM lineitem)
+SELECT {C.cell_id_sql('x', 'y', 4)} AS cell_id, COUNT(*) AS n_points
+FROM pts GROUP BY 1
+"""
+
+    sqls["quadtree_cells"] = (
+        "WITH " + _cells_cte() + "\n"
+        f"SELECT cell_id, CAST(depth AS INT) AS depth, cnt, "
+        f"(cnt < 5 OR depth >= {CELL_DEPTH}) AS is_leaf FROM cells"
+    )
+
+    search_sql = (
+        "WITH " + _cells_cte() + ",\n" + _queries_cte() + ",\n" + _search_cte() + "\n"
+        "SELECT qid, found_cell_id FROM results"
+    )
+    sqls["quadrant_search"] = search_sql
+    sqls["quadrant_search_broadcast"] = search_sql
+
+    sqls["point_lookup"] = (
+        "WITH " + _cells_cte() + ",\n"
+        "queries AS (SELECT DISTINCT x * 1000000 + y AS qid, x, y FROM pts WHERE pid % 3001 = 0\n"
+        " UNION ALL SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(123457 AS BIGINT), CAST(654321 AS BIGINT)),"
+        " (-2, 42, 777777), (-3, 999998, 3)) v(qid, x, y)),\n"
+        + _search_cte() + ",\n"
+        f"pcell AS (SELECT x, y, {C.cell_id_sql('x', 'y', CELL_DEPTH)} AS p8 FROM pts)\n"
+        "SELECT r.qid, r.found_cell_id,\n"
+        " COALESCE(BOOL_OR((CASE ce.depth "
+        + " ".join(
+            f"WHEN {d} THEN {_ancestor_sql('p.p8', CELL_DEPTH - d)}"
+            for d in range(CELL_DEPTH + 1)
+        )
+        + " END) = r.found_cell_id), FALSE) AS found\n"
+        "FROM results r JOIN queries q ON q.qid = r.qid\n"
+        "LEFT JOIN cells ce ON ce.cell_id = r.found_cell_id\n"
+        "LEFT JOIN pcell p ON p.x = q.x AND p.y = q.y\n"
+        "GROUP BY r.qid, r.found_cell_id"
+    )
+
+    box_parts = []
+    for bid, x1, y1, x2, y2 in [
+        (0, 100_000, 100_000, 400_000, 300_000),
+        (1, 0, 0, 50_000, 50_000),
+        (2, 500_000, 500_000, 1_000_000, 1_000_000),
+    ]:
+        box_parts.append(
+            f"SELECT {bid} AS box_id, pid FROM pts "
+            f"WHERE x >= {x1} AND x <= {x2} AND y >= {y1} AND y <= {y2}"
+        )
+    sqls["range_filter"] = (
+        f"WITH pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),\n"
+        "boxed AS (" + " UNION ALL ".join(box_parts) + ")\n"
+        "SELECT CAST(box_id AS INT) AS box_id, COUNT(*) AS n_points, "
+        "MIN(pid) AS min_pid FROM boxed GROUP BY 1"
+    )
+
+    sqls["cell_rollup"] = f"""
+WITH pts AS (SELECT {LX} AS x, {LY} AS y FROM lineitem),
+d6 AS (SELECT {C.cell_id_sql('x', 'y', 6)} AS cell_id, COUNT(*) AS n FROM pts GROUP BY 1)
+SELECT {_ancestor_sql('cell_id', 4)} AS cell2, CAST(SUM(n) AS BIGINT) AS n_points
+FROM d6 GROUP BY 1
+"""
+
+    sqls["knn"] = f"""
+WITH pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),
+queries AS (SELECT CAST(c_custkey AS BIGINT) AS qid, {QX} AS x, {QY} AS y
+            FROM customer WHERE c_custkey <= 10),
+scored AS (SELECT q.qid, p.pid,
+           (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist2,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y), p.pid) AS rnk
+           FROM queries q CROSS JOIN pts p)
+SELECT qid, pid, CAST(dist2 AS BIGINT) AS dist2, CAST(rnk AS INT) AS rank
+FROM scored WHERE rnk <= 5
+"""
+
+    sqls["tile_assign"] = f"""
+WITH ev AS (SELECT {EX} AS x, {EY} AS y FROM events)
+SELECT {G.tile_x_sql('x', 4)} AS tile_x, {G.tile_y_sql('y', 4)} AS tile_y,
+       COUNT(*) AS n_points
+FROM ev GROUP BY 1, 2
+"""
+
+    sqls["density_topk"] = f"""
+WITH pts AS (SELECT {LX} AS x, {LY} AS y FROM lineitem)
+SELECT cell_id, n_points FROM (
+  SELECT {C.cell_id_sql('x', 'y', 6)} AS cell_id, COUNT(*) AS n_points
+  FROM pts GROUP BY 1
+) ORDER BY n_points DESC, cell_id ASC LIMIT 20
+"""
+
+    rect_parts = []
+    for bid, x1, y1, x2, y2 in [
+        (0, 100_000, 100_000, 400_000, 300_000),
+        (1, 350_000, 250_000, 700_000, 600_000),
+        (2, 0, 900_000, 120_000, 1_000_000),
+        (3, 880_000, 0, 1_000_000, 90_000),
+    ]:
+        rect_parts.append(
+            f"SELECT {bid} AS poly_id, pid FROM pts "
+            f"WHERE x >= {x1} AND x <= {x2} AND y >= {y1} AND y <= {y2}"
+        )
+    sqls["pip_rects"] = (
+        f"WITH pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),\n"
+        "hit AS (" + " UNION ALL ".join(rect_parts) + ")\n"
+        "SELECT CAST(poly_id AS INT) AS poly_id, COUNT(*) AS n_points, "
+        "MIN(pid) AS min_pid FROM hit GROUP BY 1"
+    )
+
+    hexv = [
+        (500_000.0, 200_000.0), (800_000.0, 350_000.0), (800_000.0, 650_000.0),
+        (500_000.0, 800_000.0), (200_000.0, 650_000.0), (200_000.0, 350_000.0),
+    ]
+    halfplanes = []
+    for i in range(len(hexv)):
+        x1, y1 = hexv[i]
+        x2, y2 = hexv[(i + 1) % len(hexv)]
+        halfplanes.append(
+            f"(({x2} - {x1}) * (y - {y1}) - ({y2} - {y1}) * (x - {x1})) >= 0"
+        )
+    sqls["pip_convex"] = (
+        f"WITH pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem)\n"
+        "SELECT CAST(0 AS INT) AS poly_id, COUNT(*) AS n_points, MIN(pid) AS min_pid\n"
+        "FROM pts WHERE " + " AND ".join(halfplanes) + " HAVING COUNT(*) > 0"
+    )
+
+    sqls["token_counts"] = r"""
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tok,
+  CAST(length(trim(text)) AS INT) AS n_chr
+FROM documents
+"""
+
+    sqls["lang_id"] = """
+WITH p AS (SELECT ' ' || lower(text) || ' ' AS t FROM documents)
+SELECT CASE
+  WHEN t LIKE '% el %' OR t LIKE '% la %' OR t LIKE '% que %' THEN 'es'
+  WHEN t LIKE '% der %' OR t LIKE '% und %' OR t LIKE '% das %' THEN 'de'
+  WHEN t LIKE '% le %' OR t LIKE '% les %' OR t LIKE '% est %' THEN 'fr'
+  WHEN t LIKE '% the %' OR t LIKE '% and %' OR t LIKE '% of %' THEN 'en'
+  ELSE 'und' END AS lang_pred,
+  COUNT(*) AS n_docs
+FROM p GROUP BY 1
+"""
+
+    sqls["quality_scores"] = r"""
+WITH m AS (SELECT doc_id, trim(text) AS t,
+  CAST(length(trim(text)) AS DOUBLE) AS n_chars,
+  CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok
+  FROM documents)
+SELECT doc_id, round(
+  LEAST(n_chars / 400.0, 1.0) * 0.4
+  + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha / n_chars END) * 0.4
+  + (CASE WHEN n_tok = 0 THEN 0.0
+          WHEN n_chars / n_tok >= 3.0 AND n_chars / n_tok <= 10.0 THEN 1.0
+          ELSE 0.0 END) * 0.2, 4) AS quality
+FROM m
+"""
+
+    sqls["exact_dedup"] = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+    sqls["doc_fingerprints"] = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+    shingle = (
+        "SELECT DISTINCT doc_id, unnest(list_transform("
+        "generate_series(1, greatest(length(text) - 4, 1)), "
+        "i -> substr(lower(text), i, 5))) AS shingle FROM documents WHERE doc_id < {lim}"
+    )
+    minhash_aggs = ", ".join(
+        f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(16)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"h{b * 4 + r}" for r in range(4))
+        + ")) AS bucket FROM sigs"
+        for b in range(4)
+    )
+    sqls["minhash_buckets"] = (
+        "WITH sh AS (" + shingle.format(lim=200) + "),\n"
+        f"sigs AS (SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id),\n"
+        "buckets AS (" + band_selects + ")\n"
+        "SELECT CAST(band AS INT) AS band, COUNT(*) AS n_rows, "
+        "COUNT(DISTINCT bucket) AS n_buckets, MIN(bucket) AS min_bucket "
+        "FROM buckets GROUP BY 1"
+    )
+
+    sqls["ngram_jaccard_topk"] = (
+        "WITH sh AS (" + shingle.format(lim=80) + "),\n"
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),\n"
+        "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter\n"
+        "  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id\n"
+        "  GROUP BY 1, 2)\n"
+        "SELECT p.a, p.b, round(CAST(p.n_inter AS DOUBLE) / (sa.sz + sb.sz - p.n_inter), 6) AS jaccard\n"
+        "FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b\n"
+        "ORDER BY jaccard DESC, a ASC, b ASC LIMIT 10"
+    )
+
+    votes = ", ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(16)
+    )
+    simsum = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    sqls["simhash"] = (
+        r"WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok"
+        " FROM documents WHERE doc_id < 200),\n"
+        "h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h\n"
+        "  FROM toks WHERE length(tok) > 0),\n"
+        f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)\n"
+        f"SELECT doc_id, CAST({simsum} AS BIGINT) AS simhash FROM v"
+    )
+
+    cos = (
+        "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6)"
+    )
+    sqls["ann_topk"] = f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_vec_id, a.vec_id AS vec_id, {cos} AS sim
+  FROM embeddings a CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+  WHERE a.vec_id <> q.vec_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, vec_id ASC) AS rnk
+           FROM scored)
+SELECT q_vec_id, vec_id, sim, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 10
+"""
+
+    cos_ab = (
+        "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+    )
+    sqls["embedding_neardup"] = f"""
+SELECT a.label AS label, a.vec_id AS a, b.vec_id AS b, {cos_ab} AS sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cos_ab} >= 0.4
+"""
+
+    return sqls
+
+
+# ---------------------------------------------------------------------------
+# Public contract
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quadrant_counts": q_quadrant_counts,
+    "cell_counts_d4": q_cell_counts_d4,
+    "quadtree_cells": q_quadtree_cells,
+    "quadrant_search": q_quadrant_search,
+    "quadrant_search_broadcast": q_quadrant_search_broadcast,
+    "point_lookup": q_point_lookup,
+    "range_filter": q_range_filter,
+    "cell_rollup": q_cell_rollup,
+    "knn": q_knn,
+    "knn_cells": q_knn_cells,
+    "tile_assign": q_tile_assign,
+    "density_topk": q_density_topk,
+    "pip_rects": q_pip_rects,
+    "pip_convex": q_pip_convex,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "exact_dedup": q_exact_dedup,
+    "doc_fingerprints": q_doc_fingerprints,
+    "minhash_buckets": q_minhash_buckets,
+    "ngram_jaccard_topk": q_ngram_jaccard_topk,
+    "simhash": q_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLES: dict[str, str] = _oracle_sqls()
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship pipeline on sf0.001: derived point cloud → adaptive quadtree →
+    quadrant-search join → zoom-3 tile rollup of query hit statistics."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _points(spark, sf_dir)
+    cells = QT.build_cells(pts, max_depth=CELL_DEPTH)
+    queries = _queries(spark, sf_dir, limit=150)
+    found = S.quadrant_search_prefix(queries, cells, max_depth=CELL_DEPTH)
+    tiled = T.assign_tiles(found, 3)
+    return tiled.groupBy("tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col(S.RESULT_COL) >= 0).cast("long")).alias("n_located"),
+        F.max(S.RESULT_COL).alias("max_cell_id"),
+    )

@@ -87,26 +87,31 @@ def _ancestor_sql(expr: str, k: int) -> str:
     return expr
 
 
-def _counts_cte(max_depth: int = CELL_DEPTH) -> str:
-    """CTEs pts/c{D}/counts over lineitem-derived points."""
+PTS_SQL = f"SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem"
+
+
+def _counts_cte(max_depth: int = CELL_DEPTH, pts_sql: str = PTS_SQL) -> str:
+    """CTEs pts/c{D}/counts over ``pts_sql``-derived points."""
     per_depth = [
         f"SELECT {_ancestor_sql('cell_id', max_depth - d)} AS cell_id, "
         f"{d} AS depth, CAST(SUM(cnt) AS BIGINT) AS cnt FROM cfin GROUP BY 1"
         for d in range(max_depth + 1)
     ]
     return (
-        f"pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),\n"
+        f"pts AS ({pts_sql}),\n"
         f"cfin AS (SELECT {C.cell_id_sql('x', 'y', max_depth)} AS cell_id, "
         "COUNT(*) AS cnt FROM pts GROUP BY 1),\n"
         "counts AS (" + "\nUNION ALL\n".join(per_depth) + ")"
     )
 
 
-def _cells_cte(max_depth: int = CELL_DEPTH, min_points: int = 5) -> str:
+def _cells_cte(
+    max_depth: int = CELL_DEPTH, min_points: int = 5, pts_sql: str = PTS_SQL
+) -> str:
     """CTE cells(cell_id, depth, cnt, is_leaf) — the engine's own scalable
     algorithm (interior-parent reality test) rendered in SQL."""
     return (
-        _counts_cte(max_depth) + ",\n"
+        _counts_cte(max_depth, pts_sql) + ",\n"
         f"interior AS (SELECT cell_id, depth FROM counts WHERE cnt >= {min_points} "
         f"AND depth < {max_depth}),\n"
         "children AS (SELECT i.cell_id * 4 + k.k AS cell_id, i.depth + 1 AS depth "
@@ -366,6 +371,254 @@ def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = P.point_in_polygons(_points(spark, sf_dir), [(0, hexagon)])
     return hit.groupBy("poly_id").agg(
         F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid")
+    )
+
+
+MUT_INSERTS = [(-101, 9981.0, 9979.0), (-102, 123457.0, 654321.0), (-103, 1.0, 999999.0)]
+MUT_DELETES_FIXED = [(9981.0, 9979.0), (100.0, 100.0)]  # inserted point + absent point
+MUT_DEL_MOD = 997
+
+
+def q_mutation_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2 incremental path: insert batch, then delete batch, cells refreshed
+    from count DELTAS only (no points rescan) — must equal a full rebuild of
+    the mutated point set (the SQL oracle rebuilds)."""
+    from .operators import mutations as M
+    from .operators.quadtree import counts_from_points
+
+    pts = _points(spark, sf_dir)
+    ins = spark.createDataFrame(MUT_INSERTS, "pid long, x float, y float").select(
+        "pid", F.col("x").cast("float"), F.col("y").cast("float")
+    )
+    # effective inserts: rows whose exact (x, y) is absent (insert-if-missing)
+    ins_eff = ins.join(
+        pts.select(F.col("x").alias("_ex"), F.col("y").alias("_ey")),
+        on=(F.col("x") == F.col("_ex")) & (F.col("y") == F.col("_ey")),
+        how="left_anti",
+    )
+    pts1 = pts.unionByName(ins_eff.select(*pts.columns))
+    dels = pts.where(F.col("pid") % MUT_DEL_MOD == 0).select("x", "y").unionByName(
+        spark.createDataFrame(MUT_DELETES_FIXED, "x float, y float").select(
+            F.col("x").cast("float"), F.col("y").cast("float")
+        )
+    )
+    # effective deletes: every surviving row matching a delete key (multiplicity!)
+    del_eff = pts1.join(
+        dels.select(F.col("x").alias("_dx"), F.col("y").alias("_dy")).distinct(),
+        on=(F.col("x") == F.col("_dx")) & (F.col("y") == F.col("_dy")),
+        how="left_semi",
+    )
+    old_counts = counts_from_points(pts, max_depth=CELL_DEPTH)
+    delta = (
+        M.counts_delta(ins_eff, +1, max_depth=CELL_DEPTH)
+        .unionByName(M.counts_delta(del_eff, -1, max_depth=CELL_DEPTH))
+        .groupBy("cell_id", "depth")
+        .agg(F.sum("count").alias("count"))
+    )
+    _, cells = M.refresh_cells(old_counts, delta, max_depth=CELL_DEPTH)
+    return cells.select("cell_id", "depth", F.col("count").alias("cnt"), "is_leaf")
+
+
+def q_neighbor_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell function layer: depth-5 ring-1 neighbor expansion (kNN's candidate
+    generator) for the first 50 query points."""
+    q = _queries(spark, sf_dir, limit=50)
+    d5 = QT.with_cell_id(q, 5)
+    ring = d5.select(
+        "qid", F.explode(C.neighbor_ring_col(F.col("cell_id"), 5, 1)).alias("neighbor_id")
+    )
+    return ring.where(F.col("neighbor_id") >= 0)
+
+
+def q_cluster_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2/M3: cluster-by-cell layout (salted shuffle + in-partition sort);
+    per-prefix extent stats must be invariant to the physical shuffle."""
+    from .operators.cluster import cluster_by_cell
+
+    pts = QT.with_cell_id(_points(spark, sf_dir), CELL_DEPTH)
+    clustered = cluster_by_cell(
+        pts, prefix_depth=2, max_depth=CELL_DEPTH,
+        salt_threshold=500, salt_buckets=8, salt_tiebreak="pid",
+    )
+    return clustered.groupBy("cell_prefix").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("cell_id").alias("min_cell"),
+        F.max("cell_id").alias("max_cell"),
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 over 16 bits) via 4-band LSH
+    blocking — pigeonhole-complete for ≤3 differing bits, so the banded
+    engine path returns exactly the oracle's brute-force pair set."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sims = D.simhash(docs)
+    bands = sims.select(
+        F.col("doc_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)).alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    pairs = (
+        bands.alias("l")
+        .join(bands.alias("r"), on=["band", "key"], how="inner")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )
+    return pairs
+
+
+def q_cells_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: leaf cells of the quadtree intersecting query rectangles
+    (closed-box overlap) — the partition-pruning predicate as a relation."""
+    boxes = [
+        (0, 100_000.0, 100_000.0, 400_000.0, 300_000.0),
+        (1, 0.0, 0.0, 50_000.0, 50_000.0),
+        (2, 740_000.0, 250_000.0, 760_000.0, 270_000.0),
+    ]
+    bdf = spark.createDataFrame(boxes, "box_id int, bx1 double, by1 double, bx2 double, by2 double")
+    leaves = _cells(spark, sf_dir).where(F.col("is_leaf"))
+    hit = leaves.join(
+        F.broadcast(bdf),
+        on=(F.col("min_x") <= F.col("bx2")) & (F.col("max_x") >= F.col("bx1"))
+        & (F.col("min_y") <= F.col("by2")) & (F.col("max_y") >= F.col("by1")),
+        how="inner",
+    )
+    return hit.groupBy("box_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("count").alias("sum_cnt"),
+        F.min("cell_id").alias("min_cell"),
+        F.max("cell_id").alias("max_cell"),
+    )
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword segmentation: alpha runs | digit runs | single symbols."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            r"CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS INT)"
+        ).alias("n_bpe"),
+    )
+
+
+# ----------------------- image-table queries (north rule) -----------------
+
+
+TILE_ZOOM = 6  # 2^6 tiles/axis → tile size 15625 domain units (exact integer)
+
+IMG_W = "CAST(16 + (p_partkey % 3) * 8 AS INT)"
+IMG_H = "CAST(16 + ((p_partkey + 1) % 3) * 8 AS INT)"
+IMG_X = "CAST((p_partkey * 7919 + 11) % 1000000 AS BIGINT)"
+IMG_Y = "CAST((p_partkey * 104729 + 29) % 1000000 AS BIGINT)"
+IMG_LIMIT = 500
+
+
+def _part_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image rows derived from part keys: real pixel payloads
+    (gen_pixels), key-arithmetic geometry shared verbatim with the SQL oracle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .functions.images import encode_image, gen_pixels
+
+    keys = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= IMG_LIMIT).select(
+        F.col("p_partkey").cast("long").alias("key"),
+        F.expr(IMG_W).alias("w"),
+        F.expr(IMG_H).alias("h"),
+        F.when(F.col("p_partkey") % 4 == 0, "rle").otherwise("raw").alias("fmt"),
+        F.expr(IMG_X).cast("double").alias("x"),
+        F.expr(IMG_Y).cast("double").alias("y"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payload = [
+                encode_image(gen_pixels(int(k), int(w), int(h)), str(f))
+                for k, w, f, h in zip(b["key"], b["w"], b["fmt"], b["h"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "image_id": [f"p{int(k)}" for k in b["key"]],
+                    "bytes": payload,
+                    "w": b["w"],
+                    "h": b["h"],
+                    "fmt": b["fmt"],
+                    "caption": [f"cap {int(k)}" for k in b["key"]],
+                    "x": b["x"],
+                    "y": b["y"],
+                }
+            )
+
+    return keys.mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, x double, y double",
+    )
+
+
+def q_tile_slice_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 raster→vector slicing: run the REAL pixel-slicing kernel and verify
+    its emitted geometry (tile ids, slice count, pixel conservation, caption
+    integrity) against pure key arithmetic in SQL."""
+    imgs = _part_images(spark, sf_dir)
+    slices = T.slice_tiles(imgs, zoom=TILE_ZOOM)
+    expected_cap = F.concat(F.lit("cap "), F.substring(F.col("image_id"), 2, 20))
+    return slices.groupBy("image_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        F.sum(F.col("tw").cast("long") * F.col("th")).alias("sum_px"),
+        F.min("tile_x").alias("min_tx"),
+        F.max("tile_x").alias("max_tx"),
+        F.min("tile_y").alias("min_ty"),
+        F.max("tile_y").alias("max_ty"),
+        F.sum((F.col("caption") == expected_cap).cast("long")).alias("n_cap_ok"),
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: decode → nearest-neighbor resize 8×8 →
+    per-channel means (mapInPandas over Arrow batches; rows-only check — the
+    pixel hash is not SQL-expressible; pixel integrity is pytest-gated)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .functions.images import decode_image, resize_nearest
+
+    imgs = _part_images(spark, sf_dir)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"image_id": [], "mean_r": [], "mean_g": [], "mean_b": [], "n_px": []}
+            for img_id, buf, w, h, fmt in zip(b["image_id"], b["bytes"], b["w"], b["h"], b["fmt"]):
+                px = decode_image(buf, int(w), int(h), str(fmt))
+                small = resize_nearest(px, 8, 8).astype(np.float64)
+                rows["image_id"].append(img_id)
+                rows["mean_r"].append(round(float(small[..., 0].mean()), 4))
+                rows["mean_g"].append(round(float(small[..., 1].mean()), 4))
+                rows["mean_b"].append(round(float(small[..., 2].mean()), 4))
+                rows["n_px"].append(int(w) * int(h))
+            yield pd.DataFrame(rows)
+
+    return imgs.mapInPandas(
+        feats, "image_id string, mean_r double, mean_g double, mean_b double, n_px long"
     )
 
 
@@ -718,6 +971,143 @@ FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {cos_ab} >= 0.4
 """
 
+    # ----- mutation_cells: full rebuild of the mutated point set -----
+    ins_vals = ", ".join(
+        f"({'CAST(' + str(int(x)) + ' AS BIGINT)' if i == 0 else int(x)}, "
+        f"{'CAST(' + str(int(y)) + ' AS BIGINT)' if i == 0 else int(y)})"
+        for i, (_, x, y) in enumerate(MUT_INSERTS)
+    )
+    del_vals = ", ".join(
+        f"({'CAST(' + str(int(x)) + ' AS BIGINT)' if i == 0 else int(x)}, "
+        f"{'CAST(' + str(int(y)) + ' AS BIGINT)' if i == 0 else int(y)})"
+        for i, (x, y) in enumerate(MUT_DELETES_FIXED)
+    )
+    mut_pts = (
+        f"SELECT x, y FROM (\n"
+        f"  SELECT p.x, p.y FROM ({PTS_SQL}) p\n"
+        f"  UNION ALL\n"
+        f"  SELECT i.ix, i.iy FROM ins i WHERE NOT EXISTS "
+        f"(SELECT 1 FROM ({PTS_SQL}) p2 WHERE p2.x = i.ix AND p2.y = i.iy)\n"
+        f") u WHERE NOT EXISTS (SELECT 1 FROM delk d WHERE d.dx = u.x AND d.dy = u.y)"
+    )
+    sqls["mutation_cells"] = (
+        f"WITH ins(ix, iy) AS (VALUES {ins_vals}),\n"
+        f"delk AS (SELECT x AS dx, y AS dy FROM ({PTS_SQL}) WHERE pid % {MUT_DEL_MOD} = 0\n"
+        f"  UNION ALL SELECT * FROM (VALUES {del_vals}) v(dx, dy)),\n"
+        + _cells_cte(pts_sql=mut_pts)
+        + f"\nSELECT cell_id, CAST(depth AS INT) AS depth, cnt, "
+        f"(cnt < 5 OR depth >= {CELL_DEPTH}) AS is_leaf FROM cells"
+    )
+
+    # ----- neighbor_ring -----
+    offs = ", ".join(f"({dc}, {dr})" for dc in (-1, 0, 1) for dr in (-1, 0, 1))
+    size5 = (1 << 5) - 1
+    sqls["neighbor_ring"] = (
+        "WITH " + _queries_cte(50) + ",\n"
+        f"cr AS (SELECT qid, {C.axis_bin_sql('x', 5)} AS c, {C.axis_bin_sql('y', 5)} AS r FROM queries),\n"
+        f"offs(dc, dr) AS (VALUES {offs}),\n"
+        "nb AS (SELECT qid, c + dc AS nc, r + dr AS nr FROM cr CROSS JOIN offs\n"
+        f"  WHERE c + dc BETWEEN 0 AND {size5} AND r + dr BETWEEN 0 AND {size5})\n"
+        f"SELECT qid, {_colrow_id_sql('nc', 'nr', 5)} AS neighbor_id FROM nb"
+    )
+
+    # ----- cluster_layout -----
+    sqls["cluster_layout"] = f"""
+WITH pts AS ({PTS_SQL}),
+d8 AS (SELECT {C.cell_id_sql('x', 'y', CELL_DEPTH)} AS cell_id FROM pts)
+SELECT {_ancestor_sql('cell_id', CELL_DEPTH - 2)} AS cell_prefix,
+       COUNT(*) AS n_points, MIN(cell_id) AS min_cell, MAX(cell_id) AS max_cell
+FROM d8 GROUP BY 1
+"""
+
+    # ----- simhash_neardup: brute-force pair oracle (banding is complete
+    # for hamming <= 3 over 4 bands, so the sets coincide) -----
+    sqls["simhash_neardup"] = (
+        r"WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok"
+        " FROM documents WHERE doc_id < 200),\n"
+        "h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h\n"
+        "  FROM toks WHERE length(tok) > 0),\n"
+        f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),\n"
+        f"s AS (SELECT doc_id, CAST({simsum} AS BIGINT) AS simhash FROM v)\n"
+        "SELECT a.doc_id AS a, b.doc_id AS b,\n"
+        "  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming\n"
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id\n"
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
+
+    # ----- cells_bbox_join: leaf cells × rects closed-box overlap -----
+    def axis_min_case(axis: str) -> str:
+        whens = []
+        for d in range(CELL_DEPTH + 1):
+            step = 1_000_000.0 / (1 << d)
+            if d == 0:
+                expr = "0.0"
+            else:
+                terms = []
+                for lvl in range(1, d + 1):
+                    anc = _ancestor_sql("cell_id", d - lvl)
+                    dig = f"((({anc}) - 1) % 4)"
+                    bit = f"({dig} % 2)" if axis == "col" else f"({dig} // 2)"
+                    terms.append(f"{bit} * {1 << (d - lvl)}")
+                expr = f"({' + '.join(terms)}) * {step}"
+            whens.append(f"WHEN {d} THEN {expr}")
+        return f"(CASE depth {' '.join(whens)} END)"
+
+    step_case = (
+        "(CASE depth "
+        + " ".join(f"WHEN {d} THEN {1_000_000.0 / (1 << d)}" for d in range(CELL_DEPTH + 1))
+        + " END)"
+    )
+    bbox_boxes = [
+        (0, 100_000.0, 100_000.0, 400_000.0, 300_000.0),
+        (1, 0.0, 0.0, 50_000.0, 50_000.0),
+        (2, 740_000.0, 250_000.0, 760_000.0, 270_000.0),
+    ]
+    box_branches = " UNION ALL ".join(
+        f"SELECT {bid} AS box_id, cell_id, cnt FROM geom "
+        f"WHERE min_x <= {bx2} AND min_x + step >= {bx1} "
+        f"AND min_y <= {by2} AND min_y + step >= {by1}"
+        for bid, bx1, by1, bx2, by2 in bbox_boxes
+    )
+    sqls["cells_bbox_join"] = (
+        "WITH " + _cells_cte() + ",\n"
+        f"geom AS (SELECT cell_id, cnt, {axis_min_case('col')} AS min_x, "
+        f"{axis_min_case('row')} AS min_y, {step_case} AS step FROM cells "
+        f"WHERE cnt < 5 OR depth >= {CELL_DEPTH}),\n"
+        "hit AS (" + box_branches + ")\n"
+        "SELECT CAST(box_id AS INT) AS box_id, COUNT(*) AS n_cells, "
+        "CAST(SUM(cnt) AS BIGINT) AS sum_cnt, MIN(cell_id) AS min_cell, "
+        "MAX(cell_id) AS max_cell FROM hit GROUP BY 1"
+    )
+
+    # ----- bpe_token_counts -----
+    sqls["bpe_token_counts"] = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe
+FROM documents
+"""
+
+    # ----- tile_slice_geometry: pure key arithmetic twin of the pixel kernel -----
+    ts = 1_000_000 // (1 << TILE_ZOOM)
+    nmax = (1 << TILE_ZOOM) - 1
+    sqls["tile_slice_geometry"] = f"""
+WITH im AS (SELECT CAST(p_partkey AS BIGINT) AS key, {IMG_W} AS w, {IMG_H} AS h,
+                   {IMG_X} AS x, {IMG_Y} AS y
+            FROM part WHERE p_partkey <= {IMG_LIMIT}),
+g AS (SELECT 'p' || CAST(key AS VARCHAR) AS image_id, w, h,
+             x // {ts} AS tx0, (x + w - 1) // {ts} AS tx1,
+             y // {ts} AS ty0, (y + h - 1) // {ts} AS ty1
+      FROM im)
+SELECT image_id,
+  CAST((tx1 - tx0 + 1) * (ty1 - ty0 + 1) AS BIGINT) AS n_tiles,
+  CAST(w * h AS BIGINT) AS sum_px,
+  CAST(LEAST(tx0, {nmax}) AS INT) AS min_tx, CAST(LEAST(tx1, {nmax}) AS INT) AS max_tx,
+  CAST({nmax} - LEAST(ty1, {nmax}) AS INT) AS min_ty,
+  CAST({nmax} - LEAST(ty0, {nmax}) AS INT) AS max_ty,
+  CAST((tx1 - tx0 + 1) * (ty1 - ty0 + 1) AS BIGINT) AS n_cap_ok
+FROM g
+"""
+
     return sqls
 
 
@@ -751,6 +1141,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "mutation_cells": q_mutation_cells,
+    "neighbor_ring": q_neighbor_ring,
+    "cluster_layout": q_cluster_layout,
+    "simhash_neardup": q_simhash_neardup,
+    "cells_bbox_join": q_cells_bbox_join,
+    "bpe_token_counts": q_bpe_token_counts,
+    "tile_slice_geometry": q_tile_slice_geometry,
+    "image_features": q_image_features,
 }
 
 ORACLES: dict[str, str] = _oracle_sqls()

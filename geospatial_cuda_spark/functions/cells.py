@@ -244,6 +244,18 @@ def cell_id_col(xcol, ycol, depth: int, domain=DOMAIN):
     return _enc(xcol, ycol)
 
 
+def neighbor_ring_col(idcol, depth: int, radius: int = 1):
+    """Column: array<long> of same-depth ring neighbors (incl. self; -1 where
+    outside the grid) — the kNN candidate generator's expansion step."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _ring(ids: pd.Series) -> pd.Series:
+        arr = neighbor_ring(ids.to_numpy(np.int64), depth, radius)
+        return pd.Series(list(arr))
+
+    return _ring(idcol)
+
+
 def candidate_cells_col(xcol, ycol, max_depth: int = MAX_DEPTH, domain=DOMAIN):
     """Column: array<long> of closed-containment candidate ids (with dups)."""
 

@@ -111,6 +111,7 @@ class SnapshotTable:
             "snapshot_id": uuid.uuid4().hex,
             "parent_id": parent["snapshot_id"] if parent else None,
             "bucket_col": bucket_col,
+            "bucket_type": df.schema[bucket_col].dataType.simpleString(),
             "buckets": {**done_buckets, **rows},
             "metrics": {
                 "wall_sec": round(wall, 3),
@@ -135,6 +136,12 @@ class SnapshotTable:
         if m is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         df = spark.read.parquet(self.data_dir)
+        if "bucket_type" in m:
+            # partition-dir values read back as inferred types; restore the
+            # committed column type so read schema == written schema
+            df = df.withColumn(
+                m["bucket_col"], F.col(m["bucket_col"]).cast(m["bucket_type"])
+            )
         return df.where(
             F.col(m["bucket_col"]).cast("string").isin(sorted(m["buckets"]))
         )

@@ -234,8 +234,55 @@ def candidate_cell_ids(
 # ---------------------------------------------------------------------------
 
 
+# Depth bound for the pure-JVM encode: level boundaries k·1e6/2^d need
+# 14+d mantissa bits (1e6 = 2^6·5^6), so they are exact in float32 — and the
+# iterative float32 midpoint descent therefore lossless — iff d ≤ 10.
+_EXACT_JVM_DEPTH = 10
+
+
+def _axis_bin_col(c, depth: int, lo: float, hi: float):
+    """JVM bin index along one axis at ``depth`` under the reference's ``<=``
+    rule (a point exactly on an interior boundary goes left/bottom):
+    bin = clamp(ceil((x-lo)·2^d/(hi-lo)) - 1, 0, 2^d-1). Exact while the
+    boundaries are exactly representable (see _EXACT_JVM_DEPTH): on-boundary
+    inputs hit the ceil integer exactly, off-boundary inputs are ≥ 1 float32
+    ULP away, far beyond double rounding error."""
+    n = 1 << depth
+    scaled = (c.cast("double") - F.lit(float(lo))) * F.lit(float(n)) / F.lit(float(hi - lo))
+    return F.least(F.greatest(F.ceil(scaled) - F.lit(1), F.lit(0)), F.lit(n - 1))
+
+
+def cell_id_col_jvm(xcol, ycol, depth: int, domain=DOMAIN):
+    """Pure-Column cell id (whole-stage-codegen, no Python workers): compute
+    the final (col, row) bins once, then bit-interleave into the reference's
+    base-4 id (id_d = id_{d-1}·4 + row_bit·2 + col_bit + 1). Per-level bins
+    are prefixes of the final bin (boundaries nest), so one ceil per axis
+    suffices — expression size is linear in depth."""
+    if depth == 0:
+        return F.lit(0).cast("long")
+    col = _axis_bin_col(xcol, depth, domain[0], domain[2])
+    row = _axis_bin_col(ycol, depth, domain[1], domain[3])
+    cid = F.lit(0).cast("long")
+    for level in range(1, depth + 1):
+        shift = depth - level
+        digit = (
+            F.shiftright(row, shift).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(col, shift).bitwiseAND(F.lit(1))
+            + F.lit(1)
+        )
+        cid = cid + digit.cast("long") * F.lit(4**shift)
+    return cid
+
+
 def cell_id_col(xcol, ycol, depth: int, domain=DOMAIN):
-    """Column: reference cell id at ``depth`` (float32-faithful)."""
+    """Column: reference cell id at ``depth`` (float32-faithful).
+
+    Dispatch: depth ≤ 10 → exact integer arithmetic in the JVM (codegen'd,
+    proven equal to the float32 kernel — see test_cells parity test); deeper →
+    Arrow-vectorized numpy replay of the float32 midpoint descent (the only
+    faithful route once boundaries stop being float32-representable)."""
+    if depth <= _EXACT_JVM_DEPTH and tuple(domain) == tuple(DOMAIN):
+        return cell_id_col_jvm(xcol, ycol, depth, domain)
 
     @F.pandas_udf(LongType())
     def _enc(xs: pd.Series, ys: pd.Series) -> pd.Series:

@@ -158,13 +158,16 @@ def cells_from_counts(
 ) -> DataFrame:
     """Derive the tree relation from prefix counts (cells-only work)."""
     spark = counts_all.sparkSession
-    with_geom = counts_all.withColumn(
-        "g", bbox_struct_col(F.col("cell_id"), F.col("depth"), domain, min_distance)
-    ).select("cell_id", "depth", "count", "g.*")
-
-    interior = with_geom.where(
-        (F.col("count") >= min_points) & F.col("extent_ok") & (F.col("depth") < max_depth)
+    # The count/depth predicates are cheap JVM filters and eliminate ~99% of
+    # rows (only dense cells can be interior), so they run BEFORE the bbox
+    # pandas UDF — the Arrow kernel then sees candidate-interior cells only,
+    # not every occupied prefix cell.
+    candidates = counts_all.where(
+        (F.col("count") >= min_points) & (F.col("depth") < max_depth)
     )
+    interior = candidates.withColumn(
+        "g", bbox_struct_col(F.col("cell_id"), F.col("depth"), domain, min_distance)
+    ).where(F.col("g.extent_ok")).select("cell_id", "depth", "count")
 
     # Every interior cell spawns exactly 4 children (reference recursion is
     # unconditional: create_grid.cu:147-155) — empties become 0-count leaves.

@@ -78,32 +78,45 @@ class SnapshotTable:
         t0 = time.time()
         done_buckets = self.committed_buckets()
 
-        pending = (
-            df.select(F.col(bucket_col).cast("string").alias("_b"))
-            .distinct()
-            .collect()
-        )
-        all_pending = sorted(r["_b"] for r in pending if r["_b"] not in done_buckets)
-        pending = all_pending
-        if max_buckets_per_commit is not None:
-            pending = pending[:max_buckets_per_commit]
-        if not pending:
-            return {"done": True, "written_buckets": 0, "snapshot": self.current()}
-
-        batch = df.where(F.col(bucket_col).cast("string").isin(pending))
-        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Materialize the input ONCE: the commit needs three consumers (bucket
+        # discovery, the partitioned write, per-bucket lineage counts) and the
+        # upstream plan may be expensive (e.g. the tile-slice decode kernel) —
+        # without the persist each consumer would recompute it from the scan.
+        df = df.persist()
         try:
-            batch.write.partitionBy(bucket_col).mode("overwrite").parquet(self.data_dir)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+            # One aggregation job yields BOTH the pending-bucket list and the
+            # per-bucket lineage row counts (tiny result: one row per bucket).
+            bucket_counts = {
+                r["_b"]: r["n"]
+                for r in df.groupBy(F.col(bucket_col).cast("string").alias("_b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            all_pending = sorted(b for b in bucket_counts if b not in done_buckets)
+            pending = all_pending
+            if max_buckets_per_commit is not None:
+                pending = pending[:max_buckets_per_commit]
+            if not pending:
+                return {"done": True, "written_buckets": 0, "snapshot": self.current()}
 
-        rows = {
-            r["_b"]: r["n"]
-            for r in batch.groupBy(F.col(bucket_col).cast("string").alias("_b"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+            batch = df.where(F.col(bucket_col).cast("string").isin(pending))
+            old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                # Cluster rows by bucket before the partitioned write: each
+                # task then feeds exactly one partition writer (no per-task
+                # sort fan-out, no #tasks × #buckets small files). Callers
+                # needing more writer parallelism per bucket pre-repartition
+                # on (bucket, salt).
+                batch.repartition(F.col(bucket_col)).write.partitionBy(
+                    bucket_col
+                ).mode("overwrite").parquet(self.data_dir)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+            rows = {b: bucket_counts[b] for b in pending}
+        finally:
+            df.unpersist()
         parent = self.current()
         wall = time.time() - t0
         manifest = {

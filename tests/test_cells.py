@@ -107,6 +107,37 @@ def test_sql_expr_matches_float32_kernel(spark, small_points):
         assert np.array_equal(got, want), f"depth={depth}"
 
 
+def test_jvm_expr_matches_float32_kernel(spark, small_points):
+    """The pure-Column (codegen) encode — the hot path for depth ≤ 10 —
+    agrees with the float32 kernel on adversarial inputs: exact level
+    boundaries at every depth, their ±1-ULP float32 neighbors, the edge pack,
+    and random integer AND non-integer coordinates."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    vals = []
+    for d in range(1, 11):
+        step = 1e6 / (1 << d)
+        ks = rng.integers(0, 1 << d, size=16)
+        b = (ks * step).astype(np.float32)
+        vals += [b, np.nextafter(b, np.float32(np.inf)), np.nextafter(b, np.float32(-np.inf))]
+    vals.append(rng.integers(0, 1_000_000, size=500).astype(np.float32))
+    vals.append((rng.random(500) * 1e6).astype(np.float32))
+    x0, y0 = small_points
+    xs = np.clip(np.concatenate(vals + [x0]), 0, np.float32(999999.94))
+    ys = np.clip(np.concatenate([v[::-1] for v in vals] + [y0]), 0, np.float32(999999.94))
+    df = spark.createDataFrame(pd.DataFrame({"x": xs, "y": ys}))
+    for depth in (1, 2, 5, 8, 10):
+        got = (
+            df.select(C.cell_id_col_jvm(F.col("x"), F.col("y"), depth).alias("c"))
+            .toPandas()["c"]
+            .to_numpy()
+        )
+        want = C.encode_cell_ids(xs, ys, depth)
+        assert np.array_equal(got, want), f"depth={depth}"
+
+
 def test_oracle_tree_invariants(small_points):
     x, y = small_points
     root = oracle.build_quadtree(x, y)

@@ -322,6 +322,27 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_window_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window × tile aggregation: the batch twin of the
+    streaming tile_window_counts operator (same code path; the watermark is a
+    streaming-only no-op). Window start exported as epoch seconds so Spark
+    and DuckDB compare tz-independently."""
+    from .streaming.windows import tile_window_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(EX).cast("double").alias("x"),
+        F.expr(EY).cast("double").alias("y"),
+        F.col("ts").alias("event_time"),
+    )
+    agg = tile_window_counts(ev, zoom=4, window="6 hours")
+    return agg.select(
+        F.unix_timestamp(F.col("win.start")).alias("win_start"),
+        "tile_x",
+        "tile_y",
+        F.col("n_events"),
+    )
+
+
 def q_density_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew probe: 20 densest depth-6 cells (deterministic order)."""
     pts = _points(spark, sf_dir)
@@ -807,6 +828,14 @@ SELECT {G.tile_x_sql('x', 4)} AS tile_x, {G.tile_y_sql('y', 4)} AS tile_y,
 FROM ev GROUP BY 1, 2
 """
 
+    sqls["event_window_tiles"] = f"""
+WITH ev AS (SELECT {EX} AS x, {EY} AS y, ts FROM events)
+SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS win_start,
+       {G.tile_x_sql('x', 4)} AS tile_x, {G.tile_y_sql('y', 4)} AS tile_y,
+       COUNT(*) AS n_events
+FROM ev GROUP BY 1, 2, 3
+"""
+
     sqls["density_topk"] = f"""
 WITH pts AS (SELECT {LX} AS x, {LY} AS y FROM lineitem)
 SELECT cell_id, n_points FROM (
@@ -1127,6 +1156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn": q_knn,
     "knn_cells": q_knn_cells,
     "tile_assign": q_tile_assign,
+    "event_window_tiles": q_event_window_tiles,
     "density_topk": q_density_topk,
     "pip_rects": q_pip_rects,
     "pip_convex": q_pip_convex,

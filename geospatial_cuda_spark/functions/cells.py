@@ -303,8 +303,64 @@ def neighbor_ring_col(idcol, depth: int, radius: int = 1):
     return _ring(idcol)
 
 
+def _axis_bin_right_col(c, depth: int, lo: float, hi: float):
+    """Bin under the ``<`` rule (on-boundary goes RIGHT): floor instead of
+    ceil-minus-one — the second containment chain per axis (closed bboxes
+    overlap on shared edges)."""
+    n = 1 << depth
+    scaled = (c.cast("double") - F.lit(float(lo))) * F.lit(float(n)) / F.lit(float(hi - lo))
+    return F.least(F.greatest(F.floor(scaled), F.lit(0)), F.lit(n - 1))
+
+
+def _interleave_colrow(col, row, depth: int):
+    """Base-4 id of the (col, row) cell at ``depth`` (bit interleave)."""
+    cid = F.lit(0).cast("long")
+    for level in range(1, depth + 1):
+        shift = depth - level
+        digit = (
+            F.shiftright(row, shift).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(col, shift).bitwiseAND(F.lit(1))
+            + F.lit(1)
+        )
+        cid = cid + digit.cast("long") * F.lit(4**shift)
+    return cid
+
+
+def candidate_cells_col_jvm(xcol, ycol, max_depth: int, domain=DOMAIN):
+    """Pure-Column candidate array: per depth, the containment set is the
+    cross product of the ≤2 per-axis bins ({``<=``-rule, ``<``-rule} chains),
+    valid while boundaries are float32-exact (depth ≤ 10). -1 outside the
+    closed domain; duplicates retained (callers dedup relationally) — the
+    exact contract of the Arrow kernel."""
+    in_domain = (
+        (xcol >= F.lit(float(domain[0])))
+        & (xcol <= F.lit(float(domain[2])))
+        & (ycol >= F.lit(float(domain[1])))
+        & (ycol <= F.lit(float(domain[3])))
+    )
+    ids = [F.when(in_domain, F.lit(0).cast("long")).otherwise(F.lit(-1).cast("long"))]
+    for d in range(1, max_depth + 1):
+        cols = [_axis_bin_col(xcol, d, domain[0], domain[2]),
+                _axis_bin_right_col(xcol, d, domain[0], domain[2])]
+        rows = [_axis_bin_col(ycol, d, domain[1], domain[3]),
+                _axis_bin_right_col(ycol, d, domain[1], domain[3])]
+        for c in cols:
+            for r in rows:
+                ids.append(
+                    F.when(in_domain, _interleave_colrow(c, r, d)).otherwise(
+                        F.lit(-1).cast("long")
+                    )
+                )
+    return F.array(*ids)
+
+
 def candidate_cells_col(xcol, ycol, max_depth: int = MAX_DEPTH, domain=DOMAIN):
-    """Column: array<long> of closed-containment candidate ids (with dups)."""
+    """Column: array<long> of closed-containment candidate ids (with dups).
+
+    Same JVM/Arrow dispatch rule as cell_id_col: depth ≤ 10 on the default
+    domain runs whole-stage-codegen; deeper replays the float32 descent."""
+    if max_depth <= _EXACT_JVM_DEPTH and tuple(domain) == tuple(DOMAIN):
+        return candidate_cells_col_jvm(xcol, ycol, max_depth, domain)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _cand(xs: pd.Series, ys: pd.Series) -> pd.Series:

@@ -49,17 +49,48 @@ def knn_bruteforce(
     qid: str = "qid",
     pid: str = "pid",
 ) -> DataFrame:
-    """Exact kNN by squared distance; ties broken by pid. Queries are the
-    small side — broadcast so the big points table never shuffles."""
-    q = F.broadcast(
-        queries.select(qid, F.col("x").alias("_qx"), F.col("y").alias("_qy"))
+    """Exact kNN by squared distance (float64); ties broken by pid.
+
+    Two-phase top-k: the query set (small side, collected and closed over —
+    the moral broadcast) is scored against each Arrow batch of points with
+    one numpy distance matrix, and only the batch-local top-k per query
+    survives. The global window then ranks Q·k·num_batches candidate rows —
+    the N·Q cross product is never materialized, never shuffled, and the
+    final sort is over a driver-trivial set. Parallelism = input partitions,
+    not #queries (a Window.partitionBy(qid) over the raw cross join caps
+    reducers at Q)."""
+    qrows = queries.select(qid, "x", "y").collect()
+    q_ids = np.array([r[qid] for r in qrows], dtype=np.int64)
+    q_x = np.array([r["x"] for r in qrows], dtype=np.float64)
+    q_y = np.array([r["y"] for r in qrows], dtype=np.float64)
+
+    def partial_topk(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            px = b["x"].to_numpy(np.float64)
+            py = b["y"].to_numpy(np.float64)
+            pids = b[pid].to_numpy(np.int64)
+            d2 = (px[:, None] - q_x[None, :]) ** 2 + (py[:, None] - q_y[None, :]) ** 2
+            kk = min(k, len(b))
+            out = {qid: [], pid: [], "x": [], "y": [], "dist2": []}
+            for j in range(len(q_ids)):
+                order = np.lexsort((pids, d2[:, j]))[:kk]
+                out[qid].append(np.full(kk, q_ids[j]))
+                out[pid].append(pids[order])
+                out["x"].append(px[order])
+                out["y"].append(py[order])
+                out["dist2"].append(d2[order, j])
+            yield pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
+
+    cand = points.select(pid, "x", "y").mapInPandas(
+        partial_topk, f"{qid} long, {pid} long, x double, y double, dist2 double"
     )
-    joined = points.crossJoin(q)
-    d2 = (F.col("x") - F.col("_qx")) * (F.col("x") - F.col("_qx")) + (
-        F.col("y") - F.col("_qy")
-    ) * (F.col("y") - F.col("_qy"))
-    return _topk(joined, qid, k, d2, pid).select(
-        qid, pid, "x", "y", F.col("dist2").cast("double").alias("dist2"), "rank"
+    w = Window.partitionBy(qid).orderBy(F.col("dist2").asc(), F.col(pid).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid, pid, "x", "y", "dist2", "rank")
     )
 
 

@@ -123,29 +123,24 @@ def counts_from_points(
     max_depth: int = MAX_DEPTH,
 ) -> DataFrame:
     """(cell_id, depth, count) for every OCCUPIED prefix cell at every depth."""
-    # One points-wide projection + one shuffle: counts of occupied finest cells.
-    finest = (
-        with_cell_id(points.select(x, y), max_depth, x, y, "cell_id", domain)
-        .groupBy("cell_id")
-        .agg(F.count(F.lit(1)).alias("count"))
-    )
-
-    # Rollup to every depth in ONE shuffle: each occupied finest cell explodes
-    # into its max_depth+1 ancestor prefixes (pure JVM integer arithmetic),
-    # then a single groupBy(cell_id) sums subtree counts. Shuffle volume is
-    # (max_depth+1) × occupied-cells rows — cells, never points. (At extreme
-    # scale a per-level rollup chain shuffles ~1.33× cells total instead of
-    # 19×, at the cost of max_depth stages; swap here if that tradeoff wins.)
+    # ONE shuffle total: each point explodes map-side into its max_depth+1
+    # ancestor prefixes (pure JVM integer arithmetic on the encoded cell id),
+    # and a single groupBy(cell_id, depth) sums subtree counts — the partial
+    # (map-side) aggregate collapses the per-partition blow-up before the
+    # exchange, so shuffle volume is O(occupied cells), never points. The
+    # alternative two-step (groupBy finest, then roll up) costs an extra
+    # stage + exchange for the same output; at extreme depth a per-level
+    # rollup chain shuffles ~1.33× cells instead of (depth+1)× at the cost of
+    # max_depth stages — swap here if that tradeoff wins.
+    encoded = with_cell_id(points.select(x, y), max_depth, x, y, "cell_id", domain)
     ancestors = F.array(
         *[ancestor_col(F.col("cell_id"), k) for k in range(max_depth + 1)]
     )
     return (
-        finest.select(F.posexplode(ancestors).alias("k", "cell_id"), "count")
-        .select(
-            "cell_id", (F.lit(max_depth) - F.col("k")).cast("int").alias("depth"), "count"
-        )
+        encoded.select(F.posexplode(ancestors).alias("k", "cell_id"))
+        .select("cell_id", (F.lit(max_depth) - F.col("k")).cast("int").alias("depth"))
         .groupBy("cell_id", "depth")
-        .agg(F.sum("count").alias("count"))
+        .agg(F.count(F.lit(1)).alias("count"))
     )
 
 
@@ -157,7 +152,6 @@ def cells_from_counts(
     domain=DOMAIN,
 ) -> DataFrame:
     """Derive the tree relation from prefix counts (cells-only work)."""
-    spark = counts_all.sparkSession
     # The count/depth predicates are cheap JVM filters and eliminate ~99% of
     # rows (only dense cells can be interior), so they run BEFORE the bbox
     # pandas UDF — the Arrow kernel then sees candidate-interior cells only,
@@ -178,19 +172,25 @@ def cells_from_counts(
     ).select(F.col("child_id").alias("cell_id"), "depth")
 
     # Reality join: a non-root cell exists iff its parent is interior. Ids are
-    # globally unique across depths, so cell_id alone is the key.
+    # globally unique across depths, so cell_id alone is the key. Outer join
+    # preserving the children side: the preserved side of an outer join can't
+    # be the broadcast build side, and at full scale BOTH sides are O(cells)
+    # anyway — the shuffled join (keys + one long each) is the scale shape;
+    # AQE coalesces the tiny post-shuffle partitions at test scale.
     real = children.join(
         counts_all.select("cell_id", "count"), on="cell_id", how="left"
     ).select("cell_id", "depth", F.coalesce(F.col("count"), F.lit(0)).alias("count"))
 
+    # The root row always exists; its count is the depth-0 rollup (0 if the
+    # input is empty — the aggregate below is over ≤1 row, not the points).
     root = (
-        spark.range(1)
-        .select(F.lit(0).cast("long").alias("cell_id"))
-        .join(counts_all.where(F.col("depth") == 0).select("cell_id", "count"), on="cell_id", how="left")
+        counts_all.where(F.col("depth") == 0)
+        .groupBy()
+        .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("count"))
         .select(
-            "cell_id",
+            F.lit(0).cast("long").alias("cell_id"),
             F.lit(0).cast("int").alias("depth"),
-            F.coalesce(F.col("count"), F.lit(0)).alias("count"),
+            "count",
         )
     )
 

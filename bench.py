@@ -53,7 +53,7 @@ N_IMAGES = {
 # hardware ceiling for context.
 # Sized so parallelizable work dwarfs the ~15-20s fixed stage-latency floor
 # (Amdahl: eff ≥ 0.8 at 1→4 needs parallel work ≥ 11× the fixed part).
-SCALING_IMAGES = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "2000000"))
+SCALING_IMAGES = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "5000000"))
 SCALING_PAIR = tuple(
     int(v) for v in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "1,4").split(",")
 )

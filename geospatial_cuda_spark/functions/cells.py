@@ -274,15 +274,68 @@ def cell_id_col_jvm(xcol, ycol, depth: int, domain=DOMAIN):
     return cid
 
 
+# Hybrid ceiling: each float32 descent level past depth 10 roughly triples
+# the Column expression tree (box columns nest through when()); 3 extra
+# levels stay well under codegen limits, deeper goes to the Arrow kernel.
+_HYBRID_JVM_MAX_DEPTH = 13
+
+
+def _f32(v: float):
+    return F.lit(float(np.float32(v))).cast("float")
+
+
+def cell_id_col_jvm_deep(xcol, ycol, depth: int, domain=DOMAIN):
+    """Pure-Column encode for depth 11..13: exact integer bins give the
+    depth-10 id AND its bbox (both float32-exact), then the remaining levels
+    replay the reference's float32 midpoint descent with genuine FloatType
+    Column arithmetic — Spark's float add/multiply/compare are JVM float ops,
+    bit-identical to the C kernel's. Valid because every midpoint the kernel
+    computes at depths ≤ 10 is exact, so starting the descent from the exact
+    depth-10 box reproduces its state."""
+    base = _EXACT_JVM_DEPTH
+    col = _axis_bin_col(xcol, base, domain[0], domain[2])
+    row = _axis_bin_col(ycol, base, domain[1], domain[3])
+    cid = _interleave_colrow(col, row, base)
+    step_x = (domain[2] - domain[0]) / (1 << base)
+    step_y = (domain[3] - domain[1]) / (1 << base)
+    x1 = (col.cast("double") * F.lit(step_x) + F.lit(float(domain[0]))).cast("float")
+    x2 = ((col + 1).cast("double") * F.lit(step_x) + F.lit(float(domain[0]))).cast("float")
+    y1 = (row.cast("double") * F.lit(step_y) + F.lit(float(domain[1]))).cast("float")
+    y2 = ((row + 1).cast("double") * F.lit(step_y) + F.lit(float(domain[1]))).cast("float")
+    xf = xcol.cast("float")
+    yf = ycol.cast("float")
+    half = _f32(0.5)
+    for _ in range(depth - base):
+        mx = (x1 + x2) * half
+        my = (y1 + y2) * half
+        right = xf > mx
+        top = yf > my
+        cid = (
+            cid * 4
+            + top.cast("long") * 2
+            + right.cast("long")
+            + F.lit(1)
+        )
+        x1 = F.when(right, mx).otherwise(x1)
+        x2 = F.when(right, x2).otherwise(mx)
+        y1 = F.when(top, my).otherwise(y1)
+        y2 = F.when(top, y2).otherwise(my)
+    return cid
+
+
 def cell_id_col(xcol, ycol, depth: int, domain=DOMAIN):
     """Column: reference cell id at ``depth`` (float32-faithful).
 
     Dispatch: depth ≤ 10 → exact integer arithmetic in the JVM (codegen'd,
-    proven equal to the float32 kernel — see test_cells parity test); deeper →
-    Arrow-vectorized numpy replay of the float32 midpoint descent (the only
-    faithful route once boundaries stop being float32-representable)."""
-    if depth <= _EXACT_JVM_DEPTH and tuple(domain) == tuple(DOMAIN):
-        return cell_id_col_jvm(xcol, ycol, depth, domain)
+    proven equal to the float32 kernel — see test_cells parity tests);
+    depth ≤ 13 → integer bins to depth 10 + JVM float32 descent for the rest;
+    deeper → Arrow-vectorized numpy replay of the float32 midpoint descent
+    (the only faithful route once the expression tree would outgrow codegen)."""
+    if tuple(domain) == tuple(DOMAIN):
+        if depth <= _EXACT_JVM_DEPTH:
+            return cell_id_col_jvm(xcol, ycol, depth, domain)
+        if depth <= _HYBRID_JVM_MAX_DEPTH:
+            return cell_id_col_jvm_deep(xcol, ycol, depth, domain)
 
     @F.pandas_udf(LongType())
     def _enc(xs: pd.Series, ys: pd.Series) -> pd.Series:

@@ -62,17 +62,50 @@ def slice_tiles(images_with_geotag: DataFrame, zoom: int) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            # Fast path (vectorized): an image whose footprint lies inside ONE
+            # tile emits exactly itself — the payload passes through byte-
+            # identical (raw trivially; rle because re-encoding already-
+            # quantized pixels reproduces the same run stream), so no decode,
+            # no per-row Python. At practical zooms this covers ~98%+ of rows;
+            # only boundary-straddlers take the pixel-slicing loop.
+            x = b["x"].to_numpy(np.float64)
+            y = b["y"].to_numpy(np.float64)
+            w = b["w"].to_numpy(np.int64)
+            h = b["h"].to_numpy(np.int64)
+            tx0 = np.floor(x / tile_size).astype(np.int64)
+            tx1 = np.floor((x + w - 1) / tile_size).astype(np.int64)
+            ty0 = np.floor(y / tile_size).astype(np.int64)
+            ty1 = np.floor((y + h - 1) / tile_size).astype(np.int64)
+            fast = (tx0 == tx1) & (ty0 == ty1)
+            parts: list[pd.DataFrame] = []
+            if fast.any():
+                fi = np.flatnonzero(fast)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": b["image_id"].to_numpy()[fi],
+                            "tile_x": np.clip(tx0[fi], 0, n - 1).astype(np.int32),
+                            "tile_y": (n - 1 - np.clip(ty0[fi], 0, n - 1)).astype(np.int32),
+                            "zoom": np.full(fi.size, zoom, np.int32),
+                            "px0": np.zeros(fi.size, np.int32),
+                            "py0": np.zeros(fi.size, np.int32),
+                            "tw": w[fi].astype(np.int32),
+                            "th": h[fi].astype(np.int32),
+                            "tile_bytes": b["bytes"].to_numpy()[fi],
+                            "caption": b["caption"].to_numpy()[fi],
+                        }
+                    )
+                )
             rows: dict[str, list] = {k: [] for k in (
                 "image_id", "tile_x", "tile_y", "zoom", "px0", "py0", "tw", "th",
                 "tile_bytes", "caption",
             )}
-            for img_id, buf, w, h, fmt, cap, x, y in zip(
-                b["image_id"], b["bytes"], b["w"], b["h"], b["fmt"], b["caption"],
-                b["x"], b["y"],
-            ):
-                px = decode_image(buf, int(w), int(h), str(fmt))  # (h, w, 3), row 0 = bottom
-                for cx0, cw, tx in _axis_cuts(float(x), int(w), tile_size):
-                    for cy0, ch, ty_raw in _axis_cuts(float(y), int(h), tile_size):
+            for i in np.flatnonzero(~fast):
+                img_id = b["image_id"].iat[i]
+                buf, fmt, cap = b["bytes"].iat[i], str(b["fmt"].iat[i]), b["caption"].iat[i]
+                px = decode_image(buf, int(w[i]), int(h[i]), fmt)  # (h, w, 3), row 0 = bottom
+                for cx0, cw, tx in _axis_cuts(float(x[i]), int(w[i]), tile_size):
+                    for cy0, ch, ty_raw in _axis_cuts(float(y[i]), int(h[i]), tile_size):
                         sl = np.ascontiguousarray(px[cy0 : cy0 + ch, cx0 : cx0 + cw])
                         rows["image_id"].append(img_id)
                         rows["tile_x"].append(min(max(tx, 0), n - 1))
@@ -82,9 +115,11 @@ def slice_tiles(images_with_geotag: DataFrame, zoom: int) -> DataFrame:
                         rows["py0"].append(cy0)
                         rows["tw"].append(cw)
                         rows["th"].append(ch)
-                        rows["tile_bytes"].append(encode_image(sl.ravel(), str(fmt)))
+                        rows["tile_bytes"].append(encode_image(sl.ravel(), fmt))
                         rows["caption"].append(cap)
-            yield pd.DataFrame(rows)
+            if any(rows["image_id"]):
+                parts.append(pd.DataFrame(rows))
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(rows)
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "x", "y"]
     return images_with_geotag.select(*cols).mapInPandas(gen, TILE_SLICE_SCHEMA)

@@ -117,7 +117,7 @@ def test_jvm_expr_matches_float32_kernel(spark, small_points):
 
     rng = np.random.default_rng(7)
     vals = []
-    for d in range(1, 11):
+    for d in range(1, 14):
         step = 1e6 / (1 << d)
         ks = rng.integers(0, 1 << d, size=16)
         b = (ks * step).astype(np.float32)
@@ -136,6 +136,16 @@ def test_jvm_expr_matches_float32_kernel(spark, small_points):
         )
         want = C.encode_cell_ids(xs, ys, depth)
         assert np.array_equal(got, want), f"depth={depth}"
+    # hybrid path: integer bins to depth 10 + JVM float32 descent beyond —
+    # depths whose boundaries are NOT float32-representable (rounding live)
+    for depth in (11, 12, 13):
+        got = (
+            df.select(C.cell_id_col_jvm_deep(F.col("x"), F.col("y"), depth).alias("c"))
+            .toPandas()["c"]
+            .to_numpy()
+        )
+        want = C.encode_cell_ids(xs, ys, depth)
+        assert np.array_equal(got, want), f"hybrid depth={depth}"
 
 
 def test_jvm_candidates_match_float32_kernel(spark, small_points):

@@ -219,7 +219,13 @@ def _hardware_control() -> dict[int, float]:
     return out
 
 
-def _run_pipeline_subprocess(cpus: int) -> dict:
+def _run_pipeline_subprocess(cpus: int, pin: bool = True) -> dict:
+    """Run the pipeline at ``cpus`` parallelism, CPU-PINNED to exactly that
+    many cores (taskset). Pinning is what makes "N cores" a real resource
+    bound: an unpinned local[1] leaks its Python worker, GC, and shuffle
+    threads onto spare cores (~2 cores of actual burn), inflating the
+    baseline and understating true scaling — a cluster executor with N cores
+    has no such spare capacity."""
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -227,13 +233,10 @@ def _run_pipeline_subprocess(cpus: int) -> dict:
         SPARK_GRAFT_N_IMAGES=str(SCALING_IMAGES),
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     )
-    out = subprocess.run(
-        [sys.executable, __file__, "--pipeline-only"],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    )
+    cmd = [sys.executable, __file__, "--pipeline-only"]
+    if pin and shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -288,7 +291,9 @@ measures host overcommit, not software; the hardware-clean pair is 1→4.
 
 Pipeline measured end-to-end (scan → geotag → cell-encode → adaptive
 quadtree → quadrant-search join → tile slicing → snapshot commit with
-per-partition lineage), fresh process per run:
+per-partition lineage), fresh process per run, CPU-PINNED (taskset) to
+exactly N cores — unpinned local[1] leaks Python-worker/GC/shuffle threads
+onto spare cores (~2 cores of real burn) and understates scaling:
 
 | config | best images/sec | wall sec | all reps (img/s) |
 |---|---|---|---|

@@ -643,6 +643,84 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VID_LIMIT = 300
+VID_W = "CAST(8 + (o_orderkey % 2) * 8 AS INT)"
+VID_H = "CAST(8 + ((o_orderkey + 1) % 2) * 8 AS INT)"
+VID_NF = "CAST(5 + (o_orderkey % 5) * 2 AS INT)"  # odd → exact mid-frame index
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video columns: synthesize raw-frame payloads from order
+    keys, run the REAL frame-sampling kernel (decode → uniform k=3 sample →
+    per-frame rows), and verify the emitted geometry (sampled indices, byte
+    volume) against pure key arithmetic in SQL."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .functions.multimodal import frame_sample, gen_video
+
+    keys = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= VID_LIMIT).select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.expr(VID_W).alias("w"),
+        F.expr(VID_H).alias("h"),
+        F.expr(VID_NF).alias("n_frames"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"video_id": [], "frame_index": [], "n_bytes": []}
+            for k, w, h, nf in zip(b["key"], b["w"], b["h"], b["n_frames"]):
+                buf = gen_video(int(k), int(w), int(h), int(nf))
+                for fi, fb in frame_sample(buf, int(w), int(h), int(nf), "rawv", 3):
+                    rows["video_id"].append(f"v{int(k)}")
+                    rows["frame_index"].append(fi)
+                    rows["n_bytes"].append(len(fb))
+            yield pd.DataFrame(rows)
+
+    frames = keys.mapInPandas(gen, "video_id string, frame_index int, n_bytes long")
+    return frames.groupBy("video_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("frame_index").alias("min_f"),
+        F.max("frame_index").alias("max_f"),
+        F.sum("frame_index").cast("long").alias("sum_f"),
+        F.sum("n_bytes").alias("sum_bytes"),
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio columns: pcm16 payloads from customer keys, real
+    decode → windowed-RMS feature extraction (mapInPandas; rows-only check —
+    the RMS values are hash-noise statistics, not SQL-expressible; kernel
+    exactness is pytest-gated)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .functions.multimodal import audio_rms_windows, decode_audio, gen_audio
+
+    keys = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= VID_LIMIT).select(
+        F.col("c_custkey").cast("long").alias("key"),
+        (F.lit(800) + (F.col("c_custkey") % 5) * 400).cast("int").alias("n_samples"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"clip_id": [], "n_windows": [], "rms_mean": [], "rms_max": []}
+            for k, ns in zip(b["key"], b["n_samples"]):
+                samples = decode_audio(gen_audio(int(k), int(ns)), "pcm16")
+                rms = audio_rms_windows(samples, 256)
+                rows["clip_id"].append(f"a{int(k)}")
+                rows["n_windows"].append(len(rms))
+                rows["rms_mean"].append(round(float(rms.mean()), 6) if len(rms) else 0.0)
+                rows["rms_max"].append(round(float(rms.max()), 6) if len(rms) else 0.0)
+            yield pd.DataFrame(rows)
+
+    return keys.mapInPandas(
+        gen, "clip_id string, n_windows int, rms_mean double, rms_max double"
+    )
+
+
 # ------------------------- training-data pipeline -------------------------
 
 
@@ -1116,6 +1194,22 @@ SELECT doc_id,
 FROM documents
 """
 
+    # ----- video_frame_sample: key-arithmetic twin of the sampling kernel.
+    # k=3 uniform sampling of odd n_frames → indices {0, (n-1)/2, n-1} exactly
+    # (odd n keeps the midpoint integral — no round-half mode divergence). ---
+    sqls["video_frame_sample"] = f"""
+WITH v AS (SELECT CAST(o_orderkey AS BIGINT) AS key, {VID_W} AS w, {VID_H} AS h,
+                  {VID_NF} AS nf
+           FROM orders WHERE o_orderkey <= {VID_LIMIT})
+SELECT 'v' || CAST(key AS VARCHAR) AS video_id,
+       CAST(3 AS BIGINT) AS n_sampled,
+       CAST(0 AS INT) AS min_f,
+       CAST(nf - 1 AS INT) AS max_f,
+       CAST((nf - 1) / 2 + (nf - 1) AS BIGINT) AS sum_f,
+       CAST(3 * w * h * 3 AS BIGINT) AS sum_bytes
+FROM v
+"""
+
     # ----- tile_slice_geometry: pure key arithmetic twin of the pixel kernel -----
     ts = 1_000_000 // (1 << TILE_ZOOM)
     nmax = (1 << TILE_ZOOM) - 1
@@ -1179,6 +1273,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,
     "tile_slice_geometry": q_tile_slice_geometry,
     "image_features": q_image_features,
+    "video_frame_sample": q_video_frame_sample,
+    "audio_features": q_audio_features,
 }
 
 ORACLES: dict[str, str] = _oracle_sqls()

@@ -1,0 +1,53 @@
+"""Audio/video multimodal kernels: deterministic payloads, decode roundtrip,
+uniform frame sampling, windowed-RMS features, and stubbed real codecs
+(NotImplementedError with real Spark plumbing) per the training-data brief."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geospatial_cuda_spark.functions import multimodal as M
+
+
+def test_video_roundtrip_and_determinism():
+    buf = M.gen_video(7, 8, 6, 5)
+    assert len(buf) == 5 * 8 * 6 * 3
+    vid = M.decode_video(buf, 8, 6, 5, "rawv")
+    assert vid.shape == (5, 6, 8, 3)
+    assert M.gen_video(7, 8, 6, 5) == buf          # deterministic
+    assert M.gen_video(8, 8, 6, 5) != buf          # key-sensitive
+    # frames differ from each other (the frame index feeds the hash)
+    assert not np.array_equal(vid[0], vid[1])
+
+
+def test_frame_sampling_uniform_endpoints():
+    assert M.sample_frame_indices(9, 3).tolist() == [0, 4, 8]
+    assert M.sample_frame_indices(5, 3).tolist() == [0, 2, 4]
+    assert M.sample_frame_indices(2, 5).tolist() == [0, 1]   # k clamped
+    assert M.sample_frame_indices(7, 1).tolist() == [3]      # middle frame
+    buf = M.gen_video(3, 4, 4, 9)
+    out = M.frame_sample(buf, 4, 4, 9, "rawv", 3)
+    assert [f for f, _ in out] == [0, 4, 8]
+    vid = M.decode_video(buf, 4, 4, 9, "rawv")
+    for f, fb in out:
+        assert fb == vid[f].tobytes()
+
+
+def test_audio_roundtrip_rms():
+    buf = M.gen_audio(11, 1000)
+    assert len(buf) == 2000
+    s = M.decode_audio(buf, "pcm16")
+    assert s.shape == (1000,) and np.abs(s).max() < 1.0
+    rms = M.audio_rms_windows(s, 256)
+    assert rms.shape == (3,)  # trailing partial window dropped
+    # window 0 against the naive definition
+    assert rms[0] == pytest.approx(np.sqrt((s[:256] ** 2).mean()))
+    assert M.audio_rms_windows(np.zeros(10), 256).shape == (0,)
+
+
+def test_real_codecs_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_video(b"", 1, 1, 1, "h264")
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"", "opus")

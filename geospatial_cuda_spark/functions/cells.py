@@ -246,9 +246,15 @@ def _axis_bin_col(c, depth: int, lo: float, hi: float):
     bin = clamp(ceil((x-lo)·2^d/(hi-lo)) - 1, 0, 2^d-1). Exact while the
     boundaries are exactly representable (see _EXACT_JVM_DEPTH): on-boundary
     inputs hit the ceil integer exactly, off-boundary inputs are ≥ 1 float32
-    ULP away, far beyond double rounding error."""
+    ULP away, far beyond double rounding error.
+
+    The input is quantized to float32 FIRST (cast float → double) so this JVM
+    path shares the Arrow kernel's float32 input semantics: a double within
+    half a float32 ULP of a level boundary must round ONTO the boundary (and
+    go left) exactly as the kernel's np.float32 cast does."""
     n = 1 << depth
-    scaled = (c.cast("double") - F.lit(float(lo))) * F.lit(float(n)) / F.lit(float(hi - lo))
+    cq = c.cast("float").cast("double")
+    scaled = (cq - F.lit(float(lo))) * F.lit(float(n)) / F.lit(float(hi - lo))
     return F.least(F.greatest(F.ceil(scaled) - F.lit(1), F.lit(0)), F.lit(n - 1))
 
 
@@ -359,9 +365,10 @@ def neighbor_ring_col(idcol, depth: int, radius: int = 1):
 def _axis_bin_right_col(c, depth: int, lo: float, hi: float):
     """Bin under the ``<`` rule (on-boundary goes RIGHT): floor instead of
     ceil-minus-one — the second containment chain per axis (closed bboxes
-    overlap on shared edges)."""
+    overlap on shared edges). Float32-quantized first, as _axis_bin_col."""
     n = 1 << depth
-    scaled = (c.cast("double") - F.lit(float(lo))) * F.lit(float(n)) / F.lit(float(hi - lo))
+    cq = c.cast("float").cast("double")
+    scaled = (cq - F.lit(float(lo))) * F.lit(float(n)) / F.lit(float(hi - lo))
     return F.least(F.greatest(F.floor(scaled), F.lit(0)), F.lit(n - 1))
 
 
@@ -384,12 +391,15 @@ def candidate_cells_col_jvm(xcol, ycol, max_depth: int, domain=DOMAIN):
     cross product of the ≤2 per-axis bins ({``<=``-rule, ``<``-rule} chains),
     valid while boundaries are float32-exact (depth ≤ 10). -1 outside the
     closed domain; duplicates retained (callers dedup relationally) — the
-    exact contract of the Arrow kernel."""
+    exact contract of the Arrow kernel (incl. its float32 input quantization:
+    the comparisons run on the float32-cast coordinates)."""
+    xq = xcol.cast("float")
+    yq = ycol.cast("float")
     in_domain = (
-        (xcol >= F.lit(float(domain[0])))
-        & (xcol <= F.lit(float(domain[2])))
-        & (ycol >= F.lit(float(domain[1])))
-        & (ycol <= F.lit(float(domain[3])))
+        (xq >= F.lit(float(domain[0])).cast("float"))
+        & (xq <= F.lit(float(domain[2])).cast("float"))
+        & (yq >= F.lit(float(domain[1])).cast("float"))
+        & (yq <= F.lit(float(domain[3])).cast("float"))
     )
     ids = [F.when(in_domain, F.lit(0).cast("long")).otherwise(F.lit(-1).cast("long"))]
     for d in range(1, max_depth + 1):

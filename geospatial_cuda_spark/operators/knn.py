@@ -48,6 +48,7 @@ def knn_bruteforce(
     k: int,
     qid: str = "qid",
     pid: str = "pid",
+    max_collected_queries: int = 100_000,
 ) -> DataFrame:
     """Exact kNN by squared distance (float64); ties broken by pid.
 
@@ -58,8 +59,22 @@ def knn_bruteforce(
     the N·Q cross product is never materialized, never shuffled, and the
     final sort is over a driver-trivial set. Parallelism = input partitions,
     not #queries (a Window.partitionBy(qid) over the raw cross join caps
-    reducers at Q)."""
-    qrows = queries.select(qid, "x", "y").collect()
+    reducers at Q).
+
+    The collect caps at ``max_collected_queries`` (the query set rides into
+    every task closure, so Q is bounded by driver AND executor memory) —
+    above the cap, fail fast and point at knn_cells, the scale path."""
+    qrows = queries.select(qid, "x", "y").limit(max_collected_queries + 1).collect()
+    if len(qrows) > max_collected_queries:
+        raise ValueError(
+            f"knn_bruteforce collected > {max_collected_queries} queries; "
+            "use knn_cells (cell-pruned scale path) or raise max_collected_queries"
+        )
+    out_schema = f"{qid} long, {pid} long, x double, y double, dist2 double"
+    if not qrows:
+        return queries.sparkSession.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(1).cast("int")
+        ).select(qid, pid, "x", "y", "dist2", "rank")
     q_ids = np.array([r[qid] for r in qrows], dtype=np.int64)
     q_x = np.array([r["x"] for r in qrows], dtype=np.float64)
     q_y = np.array([r["y"] for r in qrows], dtype=np.float64)
@@ -83,9 +98,7 @@ def knn_bruteforce(
                 out["dist2"].append(d2[order, j])
             yield pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
 
-    cand = points.select(pid, "x", "y").mapInPandas(
-        partial_topk, f"{qid} long, {pid} long, x double, y double, dist2 double"
-    )
+    cand = points.select(pid, "x", "y").mapInPandas(partial_topk, out_schema)
     w = Window.partitionBy(qid).orderBy(F.col("dist2").asc(), F.col(pid).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -56,12 +56,24 @@ def _axis_cuts(start: float, length: int, tile_size: float) -> list[tuple[int, i
 def slice_tiles(images_with_geotag: DataFrame, zoom: int) -> DataFrame:
     """images (image_id, bytes, w, h, fmt, caption, x, y) → per-tile slices.
     Slices are re-encoded in the image's own fmt (raw stays lossless; rle
-    re-quantizes already-quantized pixels — idempotent)."""
+    re-quantizes already-quantized pixels — idempotent).
+
+    The single-tile fast path assumes the rle payload is CANONICAL (maximal
+    runs, as encode_image emits): a valid-but-non-maximal external rle stream
+    passes through unchanged where the slow path would canonicalize it.
+    Unsupported codecs raise on BOTH paths (the fast path never inspects the
+    payload, so it validates fmt explicitly before passing bytes through)."""
     n = 1 << zoom
     tile_size = EXTENT / n
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            bad = set(map(str, b["fmt"].unique())) - {"raw", "rle"}
+            if bad:
+                raise NotImplementedError(
+                    f"codec(s) {sorted(bad)} not available in this container "
+                    "(see functions.images.decode_image)"
+                )
             # Fast path (vectorized): an image whose footprint lies inside ONE
             # tile emits exactly itself — the payload passes through byte-
             # identical (raw trivially; rle because re-encoding already-

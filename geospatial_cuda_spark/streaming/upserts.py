@@ -4,10 +4,22 @@ The reference consumes a batched ``Query`` stream sequentially against a
 maintained index (cuda/inference.cu:109-170). The Spark rendering: a file /
 rate source of mutation rows ``(qtype 'i'|'d', x, y, payload...)`` consumed
 with ``foreachBatch``; each micro-batch applies the set-based insert/delete
-operators and refreshes the cell counts incrementally, checkpointed so a
-restart resumes from the last processed batch (exactly-once per batch id).
-Watermarks/session windows have no reference counterpart and are out of
-scope (SURVEY §2.9).
+operators and rewrites ONLY the spatial buckets its mutation keys touch —
+I/O per batch is O(touched buckets), never O(table).
+
+Layout: the maintained point set lives in a ``SnapshotTable`` partitioned by
+the depth-``bucket_depth`` quadkey cell of each point. A mutation's bucket is
+a pure function of (x, y), so the membership checks that insert-if-missing /
+delete need are complete WITHIN the touched buckets: the batch reads back
+only those partitions (partition-pruned scan), applies the set operators,
+and dynamic-partition-overwrites the same partitions. Untouched bucket files
+are never read or rewritten.
+
+Exactly-once: the checkpointed source gives at-least-once batch delivery;
+re-applying a batch is idempotent (insert-if-missing + delete-by-value), and
+the manifest publish is atomic, so a crash anywhere replays to the same
+state. Watermarks/session windows have no reference counterpart and are out
+of scope here (SURVEY §2.9) — see streaming/windows.py.
 """
 
 from __future__ import annotations
@@ -16,49 +28,70 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.cells import cell_id_col
 from ..operators import mutations as M
 from ..operators import quadtree as QT
+from ..sources.snapshots import SnapshotTable
 
 MUTATION_SCHEMA = "qtype string, pid long, x float, y float"
+POINTS_SCHEMA = "pid long, x float, y float"
+BUCKET_COL = "_bucket"
 
 
 class PointTableStream:
-    """Maintains a points parquet table + cell-count state under ``state_dir``,
-    fed by a stream of mutation rows."""
+    """Maintains a bucketed points snapshot table under ``state_dir``, fed by
+    a stream of mutation rows; cell-count state re-derives from it on read."""
 
-    def __init__(self, spark: SparkSession, state_dir: str, max_depth: int = 18):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        max_depth: int = 18,
+        bucket_depth: int = 3,
+    ):
         self.spark = spark
         self.state_dir = state_dir
         self.points_path = os.path.join(state_dir, "points")
+        self.table = SnapshotTable(self.points_path)
         self.checkpoint = os.path.join(state_dir, "_checkpoint")
         self.max_depth = max_depth
+        self.bucket_depth = bucket_depth
 
-    def _read_points(self) -> DataFrame | None:
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL, cell_id_col(F.col("x"), F.col("y"), self.bucket_depth)
+        )
+
+    def read_points(self) -> DataFrame:
+        """Committed point set (manifest-pruned)."""
         try:
-            return self.spark.read.parquet(self.points_path)
-        except Exception:
-            return None
+            return self.table.read(self.spark).select("pid", "x", "y")
+        except FileNotFoundError:
+            return self.spark.createDataFrame([], POINTS_SCHEMA)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        batch = batch.persist()
-        cur = self._read_points()
-        if cur is None:
-            cur = self.spark.createDataFrame([], "pid long, x float, y float")
-        cur = cur.persist()
-        inserts = batch.where(F.col("qtype") == "i").select("pid", "x", "y")
-        deletes = batch.where(F.col("qtype") == "d").select("x", "y")
-        updated = M.delete_points(M.insert_points(cur, inserts), deletes)
-        # materialize to a temp dir first (the plan reads the current table
-        # lazily — never overwrite the input in place), then swap atomically
-        tmp = self.points_path + f".tmp-{batch_id}"
-        updated.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        if os.path.exists(self.points_path):
-            shutil.rmtree(self.points_path)
-        os.rename(tmp, self.points_path)
-        batch.unpersist()
-        cur.unpersist()
+        batch = self._with_bucket(batch).persist()
+        try:
+            touched = sorted(
+                r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()
+            )
+            if not touched:
+                return
+            # partition-pruned read: only the buckets this batch mutates
+            try:
+                cur = self.table.read(self.spark).where(
+                    F.col(BUCKET_COL).isin(touched)
+                ).select("pid", "x", "y")
+            except FileNotFoundError:
+                cur = self.spark.createDataFrame([], POINTS_SCHEMA)
+            inserts = batch.where(F.col("qtype") == "i").select("pid", "x", "y")
+            deletes = batch.where(F.col("qtype") == "d").select("x", "y")
+            updated = M.delete_points(M.insert_points(cur, inserts), deletes)
+            self.table.overwrite_buckets(
+                self._with_bucket(updated), BUCKET_COL, [str(b) for b in touched]
+            )
+        finally:
+            batch.unpersist()
 
     def start(self, source_dir: str, available_now: bool = True):
         stream = (
@@ -74,5 +107,4 @@ class PointTableStream:
         return writer.start()
 
     def cells(self) -> DataFrame:
-        pts = self._read_points()
-        return QT.build_cells(pts, max_depth=self.max_depth)
+        return QT.build_cells(self.read_points(), max_depth=self.max_depth)

@@ -142,7 +142,7 @@ def test_streaming_upserts_apply_and_resume(spark, tmp_path):
         ],
     )
     stream.start(src).awaitTermination()
-    pts = spark.read.parquet(stream.points_path)
+    pts = stream.read_points()
     assert _rows(pts.select("pid")) == [(1,), (2,), (3,)]
 
     # second batch: delete one, insert one new, re-insert an existing (x,y)
@@ -157,15 +157,70 @@ def test_streaming_upserts_apply_and_resume(spark, tmp_path):
         ],
     )
     stream.start(src).awaitTermination()
-    pts = spark.read.parquet(stream.points_path)
+    pts = stream.read_points()
     assert _rows(pts.select("pid")) == [(1,), (3,), (4,)]
 
     # restart with no new data: checkpoint makes it a no-op (exactly-once)
     stream.start(src).awaitTermination()
-    pts = spark.read.parquet(stream.points_path)
+    pts = stream.read_points()
     assert _rows(pts.select("pid")) == [(1,), (3,), (4,)]
 
     # the maintained index reflects the mutated point set
     cells = stream.cells()
     root = cells.where(F.col("depth") == 0).collect()[0]
     assert root["count"] == 3
+
+
+def _bucket_state(data_dir: str) -> dict[str, dict[str, float]]:
+    """{partition dir: {file: mtime}} for every bucket partition on disk."""
+    out = {}
+    for d in os.listdir(data_dir):
+        p = os.path.join(data_dir, d)
+        if d.startswith("_bucket=") and os.path.isdir(p):
+            out[d] = {f: os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)}
+    return out
+
+
+def test_streaming_upserts_touch_only_mutated_buckets(spark, tmp_path):
+    """Scale invariant: a micro-batch's I/O is O(touched buckets). Points in
+    a far-away quadkey bucket must keep byte-identical files (same names,
+    same mtimes) across a batch that doesn't mutate their bucket."""
+    from geospatial_cuda_spark.streaming.upserts import PointTableStream
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    stream = PointTableStream(spark, state, max_depth=6)
+
+    # batch 0: two distant regions → two distinct depth-3 buckets
+    _write_batch(
+        src,
+        "b0.json",
+        [
+            {"qtype": "i", "pid": 1, "x": 10.0, "y": 10.0},
+            {"qtype": "i", "pid": 2, "x": 900000.0, "y": 900000.0},
+        ],
+    )
+    stream.start(src).awaitTermination()
+    before = _bucket_state(stream.table.data_dir)
+    assert len(before) == 2
+    v1 = stream.table.current()["version"]
+
+    # batch 1: mutate ONLY the low-corner region
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"qtype": "i", "pid": 3, "x": 11.0, "y": 11.0},
+            {"qtype": "d", "pid": 0, "x": 10.0, "y": 10.0},
+        ],
+    )
+    stream.start(src).awaitTermination()
+    after = _bucket_state(stream.table.data_dir)
+
+    touched = [d for d in before if before[d] != after.get(d)]
+    untouched = [d for d in before if before[d] == after.get(d)]
+    assert len(touched) == 1 and len(untouched) == 1  # far bucket untouched
+    assert stream.table.current()["version"] == v1 + 1
+    assert _rows(stream.read_points().select("pid")) == [(2,), (3,)]
+    # lineage counts reflect the per-bucket reality
+    assert sorted(stream.table.current()["buckets"].values()) == [1, 1]

@@ -256,21 +256,41 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return found.select("qid", S.RESULT_COL, "found")
 
 
+RANGE_BOXES = [
+    (0, 100_000, 100_000, 400_000, 300_000),
+    (1, 0, 0, 50_000, 50_000),
+    (2, 500_000, 500_000, 1_000_000, 1_000_000),
+]
+
+
+def _boxes_hit(pts: DataFrame, boxes, id_name: str) -> DataFrame:
+    """ONE scan of ``pts`` against a literal boxes array: explode the array,
+    keep (point, box) pairs where the inclusive bbox contains the point. The
+    plan has a single Scan node (explode amplifies the narrow projection by
+    len(boxes), never re-reads the table)."""
+    arr = F.array(*[
+        F.struct(
+            F.lit(bid).cast("int").alias("bid"),
+            F.lit(float(x1)).alias("x1"), F.lit(float(y1)).alias("y1"),
+            F.lit(float(x2)).alias("x2"), F.lit(float(y2)).alias("y2"),
+        )
+        for bid, x1, y1, x2, y2 in boxes
+    ])
+    return (
+        pts.select("pid", "x", "y", F.explode(arr).alias("_b"))
+        .where(
+            (F.col("x") >= F.col("_b.x1")) & (F.col("x") <= F.col("_b.x2"))
+            & (F.col("y") >= F.col("_b.y1")) & (F.col("y") <= F.col("_b.y2"))
+        )
+        .select(F.col("_b.bid").alias(id_name), "pid")
+    )
+
+
 def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: inclusive bbox predicate + counts."""
-    pts = _points(spark, sf_dir)
-    boxes = [
-        (0, 100_000, 100_000, 400_000, 300_000),
-        (1, 0, 0, 50_000, 50_000),
-        (2, 500_000, 500_000, 1_000_000, 1_000_000),
-    ]
-    out = None
-    for bid, x1, y1, x2, y2 in boxes:
-        part = pts.where(
-            (F.col("x") >= x1) & (F.col("x") <= x2) & (F.col("y") >= y1) & (F.col("y") <= y2)
-        ).select(F.lit(bid).cast("int").alias("box_id"), "pid")
-        out = part if out is None else out.unionByName(part)
-    return out.groupBy("box_id").agg(
+    """P2: inclusive bbox predicate + counts — single pass over the points for
+    all boxes (literal boxes array exploded against one scan)."""
+    hit = _boxes_hit(_points(spark, sf_dir), RANGE_BOXES, "box_id")
+    return hit.groupBy("box_id").agg(
         F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid")
     )
 
@@ -303,11 +323,18 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 scale path (cell-pruned kNN) — non-SQL; rows-only driver check."""
-    pts = QT.with_cell_id(_points(spark, sf_dir), 18)
-    res = K.knn_cells(_queries(spark, sf_dir, limit=10), pts, k=5, depth=3, radius=2)
+    """J4 scale path: cell-pruned kNN with ring escalation — EXACT, so it
+    shares the brute-force SQL oracle (hash-gated). Coords cast to double for
+    integer-exact squared distances, as q_knn."""
+    as_double = lambda df: df.withColumn("x", F.col("x").cast("double")).withColumn(
+        "y", F.col("y").cast("double")
+    )
+    pts = as_double(QT.with_cell_id(_points(spark, sf_dir), 18))
+    res = K.knn_cells_exact(
+        as_double(_queries(spark, sf_dir, limit=10)), pts, k=5, depth=3, radius=2
+    )
     return res.select("qid", "pid", F.col("dist2").cast("long").alias("dist2"),
-                      F.col("rank").cast("int").alias("rank"), "exact")
+                      F.col("rank").cast("int").alias("rank"))
 
 
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,19 +382,22 @@ def q_density_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIP_RECTS = [
+    (0, 100_000, 100_000, 400_000, 300_000),
+    (1, 350_000, 250_000, 700_000, 600_000),
+    (2, 0, 900_000, 120_000, 1_000_000),
+    (3, 880_000, 0, 1_000_000, 90_000),
+]
+
+
 def q_pip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 (rect subset): the real PIP kernel; rects ≡ inclusive bbox in SQL."""
+    """J3 (rect subset): the real PIP kernel — already single-scan (one Arrow
+    pass tests every polygon); rects ≡ inclusive bbox in SQL."""
     import numpy as np
 
-    rects = [
-        (0, 100_000, 100_000, 400_000, 300_000),
-        (1, 350_000, 250_000, 700_000, 600_000),
-        (2, 0, 900_000, 120_000, 1_000_000),
-        (3, 880_000, 0, 1_000_000, 90_000),
-    ]
     polys = [
         (i, np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], dtype=np.float64))
-        for i, x1, y1, x2, y2 in rects
+        for i, x1, y1, x2, y2 in PIP_RECTS
     ]
     hit = P.point_in_polygons(_points(spark, sf_dir), polys)
     return hit.groupBy("poly_id").agg(
@@ -614,8 +644,10 @@ def q_tile_slice_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: decode → nearest-neighbor resize 8×8 →
-    per-channel means (mapInPandas over Arrow batches; rows-only check — the
-    pixel hash is not SQL-expressible; pixel integrity is pytest-gated)."""
+    per-channel integer SUMS (mapInPandas over Arrow batches). Integer sums
+    (not rounded means) so the DuckDB oracle reproduces them exactly as pure
+    splitmix64 arithmetic — the pipeline is real decode/resize on real
+    payloads, hash-gated end to end."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -627,19 +659,19 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = {"image_id": [], "mean_r": [], "mean_g": [], "mean_b": [], "n_px": []}
+            rows = {"image_id": [], "sum_r": [], "sum_g": [], "sum_b": [], "n_px": []}
             for img_id, buf, w, h, fmt in zip(b["image_id"], b["bytes"], b["w"], b["h"], b["fmt"]):
                 px = decode_image(buf, int(w), int(h), str(fmt))
-                small = resize_nearest(px, 8, 8).astype(np.float64)
+                small = resize_nearest(px, 8, 8).astype(np.int64)
                 rows["image_id"].append(img_id)
-                rows["mean_r"].append(round(float(small[..., 0].mean()), 4))
-                rows["mean_g"].append(round(float(small[..., 1].mean()), 4))
-                rows["mean_b"].append(round(float(small[..., 2].mean()), 4))
+                rows["sum_r"].append(int(small[..., 0].sum()))
+                rows["sum_g"].append(int(small[..., 1].sum()))
+                rows["sum_b"].append(int(small[..., 2].sum()))
                 rows["n_px"].append(int(w) * int(h))
             yield pd.DataFrame(rows)
 
     return imgs.mapInPandas(
-        feats, "image_id string, mean_r double, mean_g double, mean_b double, n_px long"
+        feats, "image_id string, sum_r long, sum_g long, sum_b long, n_px long"
     )
 
 
@@ -803,6 +835,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dups(emb, threshold=0.4).select("label", "a", "b", "sim")
 
 
+LSH_THRESHOLD = 0.3
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNLABELED near-dup via seeded random-projection LSH (sign-bit banding):
+    the scale path when no blocking label exists or a label is hot. The
+    oracle reproduces the identical plane matrix + banding, so the result is
+    hash-gated end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups_lsh(emb, threshold=LSH_THRESHOLD)
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TXT.fingerprint_col(F.col("text")).alias("fingerprint"))
@@ -862,21 +906,15 @@ FROM pts GROUP BY 1
         "GROUP BY r.qid, r.found_cell_id"
     )
 
-    box_parts = []
-    for bid, x1, y1, x2, y2 in [
-        (0, 100_000, 100_000, 400_000, 300_000),
-        (1, 0, 0, 50_000, 50_000),
-        (2, 500_000, 500_000, 1_000_000, 1_000_000),
-    ]:
-        box_parts.append(
-            f"SELECT {bid} AS box_id, pid FROM pts "
-            f"WHERE x >= {x1} AND x <= {x2} AND y >= {y1} AND y <= {y2}"
-        )
+    box_values = ", ".join(
+        f"({bid}, {x1}, {y1}, {x2}, {y2})" for bid, x1, y1, x2, y2 in RANGE_BOXES
+    )
     sqls["range_filter"] = (
         f"WITH pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),\n"
-        "boxed AS (" + " UNION ALL ".join(box_parts) + ")\n"
-        "SELECT CAST(box_id AS INT) AS box_id, COUNT(*) AS n_points, "
-        "MIN(pid) AS min_pid FROM boxed GROUP BY 1"
+        f"boxes AS (SELECT * FROM (VALUES {box_values}) AS b(box_id, x1, y1, x2, y2))\n"
+        "SELECT CAST(b.box_id AS INT) AS box_id, COUNT(*) AS n_points, "
+        "MIN(pid) AS min_pid FROM pts JOIN boxes b "
+        "ON x >= b.x1 AND x <= b.x2 AND y >= b.y1 AND y <= b.y2 GROUP BY 1"
     )
 
     sqls["cell_rollup"] = f"""
@@ -898,6 +936,9 @@ scored AS (SELECT q.qid, p.pid,
 SELECT qid, pid, CAST(dist2 AS BIGINT) AS dist2, CAST(rnk AS INT) AS rank
 FROM scored WHERE rnk <= 5
 """
+    # the cell-pruned path escalates its ring until exact, so the brute-force
+    # top-k SQL is its oracle too (identical distance + pid tie-break)
+    sqls["knn_cells"] = sqls["knn"]
 
     sqls["tile_assign"] = f"""
 WITH ev AS (SELECT {EX} AS x, {EY} AS y FROM events)
@@ -922,22 +963,15 @@ SELECT cell_id, n_points FROM (
 ) ORDER BY n_points DESC, cell_id ASC LIMIT 20
 """
 
-    rect_parts = []
-    for bid, x1, y1, x2, y2 in [
-        (0, 100_000, 100_000, 400_000, 300_000),
-        (1, 350_000, 250_000, 700_000, 600_000),
-        (2, 0, 900_000, 120_000, 1_000_000),
-        (3, 880_000, 0, 1_000_000, 90_000),
-    ]:
-        rect_parts.append(
-            f"SELECT {bid} AS poly_id, pid FROM pts "
-            f"WHERE x >= {x1} AND x <= {x2} AND y >= {y1} AND y <= {y2}"
-        )
+    rect_values = ", ".join(
+        f"({bid}, {x1}, {y1}, {x2}, {y2})" for bid, x1, y1, x2, y2 in PIP_RECTS
+    )
     sqls["pip_rects"] = (
         f"WITH pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),\n"
-        "hit AS (" + " UNION ALL ".join(rect_parts) + ")\n"
-        "SELECT CAST(poly_id AS INT) AS poly_id, COUNT(*) AS n_points, "
-        "MIN(pid) AS min_pid FROM hit GROUP BY 1"
+        f"rects AS (SELECT * FROM (VALUES {rect_values}) AS b(poly_id, x1, y1, x2, y2))\n"
+        "SELECT CAST(b.poly_id AS INT) AS poly_id, COUNT(*) AS n_points, "
+        "MIN(pid) AS min_pid FROM pts JOIN rects b "
+        "ON x >= b.x1 AND x <= b.x2 AND y >= b.y1 AND y <= b.y2 GROUP BY 1"
     )
 
     hexv = [
@@ -1076,6 +1110,31 @@ SELECT q_vec_id, vec_id, sim, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 
 SELECT a.label AS label, a.vec_id AS a, b.vec_id AS b, {cos_ab} AS sim
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {cos_ab} >= 0.4
+"""
+
+    # ----- unlabeled LSH near-dup: identical plane matrix + banding in SQL -----
+    signs = D.rademacher_planes(16, 64)
+    span = 16 // 4
+    band_keys = []
+    for bb in range(4):
+        bits = [
+            f"(CASE WHEN ({D.plane_projection_sql('embedding', signs[bb * span + r])}) >= 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(span)
+        ]
+        band_keys.append(" + ".join(bits))
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {bb} AS band, {band_keys[bb]} AS key FROM embeddings"
+        for bb in range(4)
+    )
+    sqls["embedding_neardup_lsh"] = f"""
+WITH bands AS ({band_selects}),
+cand AS (SELECT DISTINCT x.vec_id AS aid, y.vec_id AS bid
+         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         WHERE x.vec_id < y.vec_id)
+SELECT aid AS a, bid AS b, {cos_ab} AS sim
+FROM cand JOIN embeddings a ON a.vec_id = aid JOIN embeddings b ON b.vec_id = bid
+WHERE {cos_ab} >= {LSH_THRESHOLD}
 """
 
     # ----- mutation_cells: full rebuild of the mutated point set -----
@@ -1231,6 +1290,37 @@ SELECT image_id,
 FROM g
 """
 
+    # ----- image_features: the decode→resize→sum pipeline re-derived as pure
+    # splitmix64 integer arithmetic. pixel(key, flat_idx) = hash2(key,
+    # flat_idx // BLOCK) & 0xFF (functions/images.py gen_pixels); the 8×8
+    # nearest-neighbor resize samples rows j*h//8 and cols i*w//8; rle images
+    # (key % 4 == 0) are even-quantized by the codec round-trip.
+    from .util import hash2_sql_ctes
+
+    sqls["image_features"] = f"""
+WITH im AS (SELECT CAST(p_partkey AS BIGINT) AS key, {IMG_W} AS w, {IMG_H} AS h,
+                   CASE WHEN p_partkey % 4 = 0 THEN 1 ELSE 0 END AS lossy
+            FROM part WHERE p_partkey <= {IMG_LIMIT}),
+samples AS (SELECT key, w, h, lossy, gc.c AS c,
+                   CAST(key AS UBIGINT) AS a,
+                   CAST(((gj.j * h // 8) * w + (gi.i * w // 8)) * 3 + gc.c AS UBIGINT) // 16 AS b
+            FROM im,
+                 generate_series(0, 7) AS gj(j),
+                 generate_series(0, 7) AS gi(i),
+                 generate_series(0, 2) AS gc(c)),
+{hash2_sql_ctes('h', 'samples', ['key', 'w', 'h', 'lossy', 'c'], 'a', 'b', 'v')},
+vals AS (SELECT key, w, h, c,
+                CASE WHEN lossy = 1 THEN (v % 256) - ((v % 256) % 2)
+                     ELSE v % 256 END AS pix
+         FROM ho5)
+SELECT 'p' || CAST(key AS VARCHAR) AS image_id,
+  CAST(SUM(CASE WHEN c = 0 THEN pix ELSE 0 END) AS BIGINT) AS sum_r,
+  CAST(SUM(CASE WHEN c = 1 THEN pix ELSE 0 END) AS BIGINT) AS sum_g,
+  CAST(SUM(CASE WHEN c = 2 THEN pix ELSE 0 END) AS BIGINT) AS sum_b,
+  CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px
+FROM vals GROUP BY key
+"""
+
     return sqls
 
 
@@ -1265,6 +1355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "mutation_cells": q_mutation_cells,
     "neighbor_ring": q_neighbor_ring,
     "cluster_layout": q_cluster_layout,

@@ -9,10 +9,14 @@ hash() anywhere a result crosses the oracle boundary).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import fingerprint_col, shingles_expr
 from ..functions.vectors import cosine_col
+from ..util import splitmix64
+
+LSH_SEED = 0x5EEDED
 
 
 def exact_dedup_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -192,6 +196,98 @@ def near_dup_simhash(
 # ---------------------------------------------------------------------------
 
 
+def rademacher_planes(n_planes: int, dim: int, seed: int = LSH_SEED) -> np.ndarray:
+    """(n_planes, dim) ±1 hyperplane components: bit 0 of
+    splitmix64(seed + p·dim + d). Seeded and engine-portable — the SQL oracle
+    regenerates the identical matrix as literals."""
+    idx = np.arange(n_planes * dim, dtype=np.uint64) + np.uint64(seed)
+    signs = (splitmix64(idx) & np.uint64(1)).astype(np.int64) * 2 - 1
+    return signs.reshape(n_planes, dim)
+
+
+def _plane_projection_col(emb, signs_row: np.ndarray):
+    """Sequential-fold dot product of the embedding with a ±1 plane — the
+    fold order (left-to-right in double) is what the SQL twin reproduces, so
+    the sign bit matches bit-for-bit across engines."""
+    lits = F.array(*[F.lit(float(s)) for s in signs_row])
+    return F.aggregate(
+        F.zip_with(emb, lits, lambda x, s: x.cast("double") * s),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def plane_projection_sql(emb_sql: str, signs_row: np.ndarray) -> str:
+    """DuckDB twin of _plane_projection_col (same left-assoc double sum)."""
+    terms = []
+    for d, s in enumerate(signs_row):
+        op = "+" if s > 0 else "-"
+        terms.append(f"{op} CAST({emb_sql}[{d + 1}] AS DOUBLE)")
+    joined = " ".join(terms)
+    return joined[2:] if joined.startswith("+ ") else f"(0 {joined})"
+
+
+def embedding_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = LSH_SEED,
+    vec_id: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, band, key): simhash-style banding of the sign bits
+    of ``n_planes`` seeded Rademacher projections. ONE scan: all band keys
+    are computed in a single projection, then exploded."""
+    signs = rademacher_planes(n_planes, dim, seed)
+    span = n_planes // bands
+    bits = [
+        (_plane_projection_col(F.col(emb), signs[p]) >= 0).cast("long")
+        for p in range(n_planes)
+    ]
+    band_structs = []
+    for b in range(bands):
+        key = None
+        for r in range(span):
+            term = bits[b * span + r] * F.lit(1 << r)
+            key = term if key is None else key + term
+        band_structs.append(
+            F.struct(F.lit(b).cast("int").alias("band"), key.alias("key"))
+        )
+    return embeddings.select(
+        F.col(vec_id), F.col(emb), F.explode(F.array(*band_structs)).alias("_bk")
+    ).select(vec_id, emb, F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = LSH_SEED,
+    vec_id: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """UNLABELED cosine near-dup: candidates share ≥1 LSH band bucket
+    (no label column, no hot-label quadratic blow-up — bucket sizes
+    concentrate at N/2^span per band), then exact cosine verifies. Recall for
+    sim ≥ 0.95 at the 16/4 defaults is ≈ 0.99 (pytest-gated vs brute force);
+    the judged contract query's oracle reproduces the bucketing exactly, so
+    the comparison is deterministic regardless of recall."""
+    bk = embedding_lsh_buckets(embeddings, n_planes, bands, dim, seed, vec_id, emb)
+    a = bk.select(F.col(vec_id).alias("a"), F.col(emb).alias("_va"), "band", "key")
+    b = bk.select(F.col(vec_id).alias("b"), F.col(emb).alias("_vb"), "band", "key")
+    return (
+        a.join(b, on=["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(cosine_col(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+        .distinct()
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.99,
@@ -199,8 +295,9 @@ def embedding_near_dups(
     vec_id: str = "vec_id",
     emb: str = "embedding",
 ) -> DataFrame:
-    """Cosine near-dup pairs within a blocking key (label here; sign-bit LSH
-    for unlabeled corpora — see ann_ivf's bucketing). Never all-pairs."""
+    """Cosine near-dup pairs within a blocking key (label). For unlabeled
+    corpora — or when one label dominates and would degenerate to all-pairs
+    within its block — use ``embedding_near_dups_lsh``. Never all-pairs."""
     a = embeddings.select(
         F.col(block), F.col(vec_id).alias("a"), F.col(emb).alias("va")
     )

@@ -157,6 +157,68 @@ def knn_cells(
     )
 
 
+def knn_cells_exact(
+    queries: DataFrame,
+    points_with_cell: DataFrame,
+    k: int,
+    depth: int,
+    radius: int = 1,
+    qid: str = "qid",
+    pid: str = "pid",
+    max_depth: int = MAX_DEPTH,
+) -> DataFrame:
+    """EXACT kNN via the cell-pruned scale path: run ``knn_cells`` and, for
+    queries whose kth neighbor is not ring-guaranteed (``exact`` false or
+    fewer than k candidates), re-run ONLY those queries with a doubled ring
+    radius, until guaranteed. At radius ≥ 2^depth the ring covers the whole
+    grid, so termination (and unconditional exactness) is structural.
+
+    Equal to ``knn_bruteforce`` row-for-row (same distance, same pid
+    tie-break) — the escalation is how the reference's nearest-structure
+    search (cuda/kernels.cu:142-162) generalizes to guaranteed top-k without
+    ever scoring the full N×Q product: each round is a candidate equi-join
+    driven by the still-inexact queries only, and the per-round driver
+    round-trip is O(#inexact queries), never O(points)."""
+    grid = 1 << depth
+    remaining = queries
+    done: list[DataFrame] = []
+    r = radius
+    while True:
+        res = knn_cells(remaining, points_with_cell, k, depth, r, qid, pid, max_depth)
+        if r >= grid:
+            done.append(res.drop("exact"))
+            break
+        flags = res.groupBy(qid).agg(
+            F.min(F.col("exact").cast("int")).alias("_all_exact"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        res = res.join(F.broadcast(flags), on=qid)
+        settled = (F.col("_all_exact") == 1) & (F.col("_n") >= k)
+        done.append(res.where(settled).select(qid, pid, "x", "y", "dist2", "rank"))
+        inexact = [
+            row[qid]
+            for row in flags.where(
+                (F.col("_all_exact") != 1) | (F.col("_n") < k)
+            ).select(qid).collect()
+        ]
+        # queries with ZERO candidates produce no rows at all — they are
+        # inexact too (flags misses them entirely)
+        seen = flags.select(qid)
+        missing = [
+            row[qid]
+            for row in remaining.select(qid).join(seen, on=qid, how="left_anti").collect()
+        ]
+        inexact = sorted(set(inexact) | set(missing))
+        if not inexact:
+            break
+        remaining = remaining.where(F.col(qid).isin(inexact))
+        r = min(r * 2, grid)
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Embedding ANN
 # ---------------------------------------------------------------------------
@@ -189,20 +251,29 @@ def ann_ivf(
     embeddings: DataFrame,
     query_vecs: DataFrame,
     k: int,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     vec_id: str = "vec_id",
     emb: str = "embedding",
     qid: str = "q_vec_id",
 ) -> DataFrame:
-    """IVF-bucketed ANN. Centroids are the first ``n_centroids`` vectors by
-    id (deterministic, no RNG); assignment is one Arrow matmul per batch; the
-    search probes only the ``n_probe`` closest buckets per query. Recall < 1
-    by construction — benchmark against ann_bruteforce for the quality gate."""
+    """IVF-bucketed ANN. Centroids are a DETERMINISTIC HASH SAMPLE of the
+    corpus (ordered by xxhash64(id) — seeded, order-insensitive, so a sorted
+    or clustered corpus cannot bias them the way head-of-table selection
+    would); ``n_centroids`` defaults to ⌈√N⌉, the classic IVF sizing (bucket
+    size ≈ √N, probe cost ≈ n_probe·√N). Assignment is one Arrow matmul per
+    batch; the search probes only the ``n_probe`` closest buckets per query.
+    Recall < 1 by construction — the recall@k ≥ 0.9 gate vs ann_bruteforce
+    (with an n_probe sweep) lives in tests/test_pip_knn.py."""
+    if n_centroids is None:
+        n_centroids = max(4, int(np.ceil(np.sqrt(embeddings.count()))))
     cents = np.array(
         [
             r[emb]
-            for r in embeddings.orderBy(vec_id).limit(n_centroids).collect()
+            for r in embeddings.select(vec_id, emb)
+            .orderBy(F.xxhash64(F.col(vec_id)), F.col(vec_id))
+            .limit(n_centroids)
+            .collect()
         ],
         dtype=np.float64,
     )

@@ -53,3 +53,55 @@ def geotag_from_phash(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 GEOTAG_X_SQL = "CAST((CAST(phash AS {ubig}) >> 20) % 1000000 AS DOUBLE)"
 GEOTAG_Y_SQL = "CAST(CAST(phash AS {ubig}) % 1000000 AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins of splitmix64/hash2 (oracle side). Wrapping 64-bit
+# multiply is emulated in HUGEINT via 32-bit limbs; everything else is
+# UBIGINT. Emitted as CTE chains so each intermediate is computed once per
+# row (a single inlined expression would blow up exponentially).
+# ---------------------------------------------------------------------------
+
+_U64 = 2**64
+_U32 = 2**32
+
+
+def _wmul_sql(t: str, c: int) -> str:
+    """(t * c) mod 2^64 for UBIGINT column ``t`` and constant ``c``."""
+    cl, ch = c % _U32, c // _U32
+    return (
+        f"CAST((CAST({t} AS HUGEINT) % {_U32} * {cl} + "
+        f"((CAST({t} AS HUGEINT) % {_U32} * {ch} + "
+        f"CAST({t} AS HUGEINT) // {_U32} * {cl}) % {_U32}) * {_U32}) % {_U64} AS UBIGINT)"
+    )
+
+
+def splitmix64_sql_ctes(prefix: str, src: str, carry: list[str], zin: str, zout: str) -> str:
+    """CTE chain computing ``zout = splitmix64(zin)`` (the numpy twin above,
+    bit-exact) over rows of ``src``, carrying ``carry`` columns through.
+    Unsigned shift-right is floor division (inputs are UBIGINT)."""
+    g = int(_SM64_GAMMA)
+    m1, m2 = int(_SM64_M1), int(_SM64_M2)
+    cs = ", ".join(carry)
+    return f"""
+{prefix}0 AS (SELECT {cs}, CAST((CAST({zin} AS HUGEINT) + {g}) % {_U64} AS UBIGINT) AS z FROM {src}),
+{prefix}1 AS (SELECT {cs}, xor(z, z // {1 << 30}) AS t FROM {prefix}0),
+{prefix}2 AS (SELECT {cs}, {_wmul_sql('t', m1)} AS z FROM {prefix}1),
+{prefix}3 AS (SELECT {cs}, xor(z, z // {1 << 27}) AS t FROM {prefix}2),
+{prefix}4 AS (SELECT {cs}, {_wmul_sql('t', m2)} AS z FROM {prefix}3),
+{prefix}5 AS (SELECT {cs}, xor(z, z // {1 << 31}) AS {zout} FROM {prefix}4)"""
+
+
+def hash2_sql_ctes(prefix: str, src: str, carry: list[str], acol: str, bcol: str, out: str) -> str:
+    """CTE chain computing ``out = hash2(acol, bcol)`` = splitmix64(a ^
+    (splitmix64(b) + GAMMA)) — bit-exact vs the numpy hash2 (prototype parity
+    is pytest-gated)."""
+    g = int(_SM64_GAMMA)
+    inner = splitmix64_sql_ctes(f"{prefix}i", src, carry + [acol], bcol, "_smb")
+    mid = (
+        f"{prefix}m AS (SELECT {', '.join(carry)}, "
+        f"xor({acol}, CAST((CAST(_smb AS HUGEINT) + {g}) % {_U64} AS UBIGINT)) AS _m "
+        f"FROM {prefix}i5)"
+    )
+    outer = splitmix64_sql_ctes(f"{prefix}o", f"{prefix}m", carry, "_m", out)
+    return f"{inner},\n{mid},{outer}"

@@ -94,3 +94,32 @@ def test_text_kernels_basics(spark):
     assert by[3]["lang"] == "es"
     assert 0.0 <= by[0]["q"] <= 1.0
     assert by[1]["fp"] == by[2]["fp"]  # whitespace-normalized identity
+
+
+def test_embedding_lsh_neardup_recall_vs_brute(spark):
+    """Unlabeled sign-bit LSH: plant near-dup pairs (sim ≥ 0.95) in a random
+    corpus; banded bucketing must recover ≥ 90% of them (16 planes / 4 bands
+    → per-pair share-a-band probability ≈ 0.99 at sim 0.95), with exact
+    cosine verification so precision is 1.0 by construction."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64)).astype(np.float32)
+    # 30 planted near-dups: tiny perturbation keeps cosine ≥ 0.95
+    dup = base[:30] + rng.normal(scale=0.02, size=(30, 64)).astype(np.float32)
+    vecs = np.vstack([base, dup])
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = D.embedding_near_dups_lsh(emb, threshold=0.95).toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got.a, got.b)}
+
+    # brute-force truth
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = n @ n.T
+    ii, jj = np.where(np.triu(sims, 1) >= 0.95)
+    truth = {(int(a), int(b)) for a, b in zip(ii, jj)}
+    assert len(truth) >= 30
+    assert got_pairs <= truth  # exact verify ⇒ no false positives
+    recall = len(got_pairs & truth) / len(truth)
+    assert recall >= 0.9, recall

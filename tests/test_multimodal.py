@@ -51,3 +51,24 @@ def test_real_codecs_are_stubbed():
         M.decode_video(b"", 1, 1, 1, "h264")
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"", "opus")
+
+
+def test_hash2_sql_twin_bit_exact():
+    """The DuckDB rendering of hash2/splitmix64 (the image_features oracle's
+    core) must be bit-exact vs the numpy kernels for edge-case inputs."""
+    import duckdb
+
+    from geospatial_cuda_spark.util import hash2, hash2_sql_ctes
+
+    pairs = [(0, 0), (1, 7), (17, 123), (500, 99_999), (2**63, 2**64 - 1),
+             (12345678901, 987654321)]  # unique b values (the dict key below)
+    values = ", ".join(f"(CAST({a} AS UBIGINT), CAST({b} AS UBIGINT))" for a, b in pairs)
+    sql = f"""
+WITH pairs AS (SELECT a, b FROM (VALUES {values}) t(a, b)),
+{hash2_sql_ctes('h', 'pairs', ['b'], 'a', 'b', 'v')}
+SELECT b, v FROM ho5
+"""
+    got = {int(b): int(v) for b, v in duckdb.sql(sql).fetchall()}
+    for a, b in pairs:
+        want = int(hash2(np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64))[0])
+        assert got[b] == want, (a, b)

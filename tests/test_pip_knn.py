@@ -81,3 +81,68 @@ def test_knn_cells_matches_brute_when_exact(knn_world):
         a = brute[brute.qid == qid].sort_values("rank")["pid"].tolist()
         b = pruned[pruned.qid == qid].sort_values("rank")["pid"].tolist()
         assert a == b, f"qid {qid}"
+
+
+def test_knn_cells_exact_equals_brute_everywhere(spark, knn_world):
+    """Ring escalation makes the cell path exact for EVERY query — including
+    ones whose initial radius-1 ring is too tight (sparse neighborhoods), the
+    case the non-escalating path flags exact=false."""
+    queries, pts = knn_world
+    k = 5
+    # depth 6 cells are sparse at this fixture density, so radius=1 leaves
+    # queries inexact in round 1 and the escalation loop genuinely runs
+    first = K.knn_cells(queries, pts, k, depth=6, radius=1).toPandas()
+    per_q = first.groupby("qid").apply(lambda g: bool(g["exact"].all()) and len(g) == k)
+    assert not per_q.all()
+    brute = K.knn_bruteforce(queries, pts.drop("cell_id"), k).toPandas()
+    exact = K.knn_cells_exact(queries, pts, k, depth=6, radius=1).toPandas()
+    for qid in brute.qid.unique():
+        a = brute[brute.qid == qid].sort_values("rank")["pid"].tolist()
+        b = exact[exact.qid == qid].sort_values("rank")["pid"].tolist()
+        assert a == b, f"qid {qid}"
+    assert len(exact) == len(brute)
+
+
+def test_knn_bruteforce_empty_queries(spark, knn_world):
+    queries, pts = knn_world
+    empty = queries.where(F.lit(False))
+    out = K.knn_bruteforce(empty, pts.drop("cell_id"), 5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["qid", "pid", "x", "y", "dist2", "rank"]
+
+
+def test_ann_ivf_recall_gate(spark):
+    """IVF with hash-sampled centroids (n_centroids = ⌈√N⌉): recall@10 vs the
+    exact brute-force baseline must be ≥ 0.9 at the default probe width, and
+    the n_probe sweep must be monotone (more probes ⇒ no less recall)."""
+    # clustered corpus (mixture of Gaussians) — IVF's contract: real
+    # embedding spaces cluster; on isotropic noise no coarse quantizer can
+    # co-locate near-orthogonal "neighbors"
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(20, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, 20, size=400)
+    vecs = (centers[assign] + rng.normal(scale=0.08, size=(400, 64))).astype(np.float32)
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist()
+    queries = emb.where(F.col("vec_id") < 15)
+
+    brute = K.ann_bruteforce(emb, queries, k=10).toPandas()
+    truth = {
+        q: set(g.sort_values("rank")["vec_id"])
+        for q, g in brute.groupby("q_vec_id")
+    }
+
+    def recall(n_probe: int) -> float:
+        got = K.ann_ivf(emb, queries, k=10, n_probe=n_probe).toPandas()
+        hits = total = 0
+        for q, want in truth.items():
+            have = set(got[got.q_vec_id == q]["vec_id"])
+            hits += len(have & want)
+            total += len(want)
+        return hits / total
+
+    sweep = {p: recall(p) for p in (1, 4, 8)}
+    assert sweep[8] >= sweep[1] - 1e-9, sweep
+    assert sweep[8] >= 0.9, sweep
+    emb.unpersist()

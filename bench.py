@@ -91,7 +91,13 @@ def ensure_images(spark, n: int) -> str:
 
 def run_images_pipeline(spark, images_path: str, out_dir: str) -> dict:
     """The flagship north-rule pipeline: scan → geotag → cell-encode →
-    quadtree → quadrant-search join → tile slice → snapshot commit."""
+    quadtree → quadrant-search join → tile slice → snapshot commit.
+
+    Per-stage wall times are recorded so the scaling evidence can decompose
+    fixed overhead (stage latency, codegen compile) from parallel compute —
+    the Amdahl breakdown BENCH/BASELINE.md reports. n_images comes from the
+    quadtree root count (the build already aggregates every row; a separate
+    images.count() would add a whole extra scan + barrier)."""
     from pyspark.sql import functions as F
 
     from geospatial_cuda_spark.datagen import with_geotag
@@ -99,27 +105,34 @@ def run_images_pipeline(spark, images_path: str, out_dir: str) -> dict:
     from geospatial_cuda_spark.sources.snapshots import SnapshotTable
 
     shutil.rmtree(out_dir, ignore_errors=True)
+    stages: dict[str, float] = {}
     t0 = time.time()
     images = with_geotag(spark.read.parquet(images_path))
-    n_images = images.count()
 
-    # index build over the image geotags
+    # index build over the image geotags (root count == n_images: one scan)
+    t = time.time()
     cells = QT.build_cells(images, max_depth=12).persist()
     cells.count()
+    n_images = cells.where(F.col("depth") == 0).select("count").first()[0]
+    stages["build_cells"] = round(time.time() - t, 3)
 
     # containing-quadrant join for a deterministic query sample
+    t = time.time()
     queries = images.where(F.col("phash") % 97 == 0).select(
         F.col("phash").alias("qid"), "x", "y"
     )
     found = S.quadrant_search_prefix(queries, cells, max_depth=12)
     n_located = found.where(F.col(S.RESULT_COL) >= 0).count()
+    stages["search"] = round(time.time() - t, 3)
 
-    # raster→vector tile slicing + checkpointed snapshot commit
+    # raster→vector tile slicing + checkpointed snapshot commit (single pass)
+    t = time.time()
     slices = T.slice_tiles(images, zoom=8).withColumn(
         "bucket", F.pmod(F.col("tile_x"), F.lit(32))
     )
     snap = SnapshotTable(out_dir)
     result = snap.commit(slices, "bucket")
+    stages["slice_commit"] = round(time.time() - t, 3)
     wall = time.time() - t0
     rows = result["snapshot"]["metrics"]["rows_written"]
     return {
@@ -128,6 +141,7 @@ def run_images_pipeline(spark, images_path: str, out_dir: str) -> dict:
         "slice_rows": rows,
         "wall_sec": round(wall, 3),
         "images_per_sec": round(n_images / wall, 1),
+        "stages": stages,
     }
 
 
@@ -148,6 +162,7 @@ def run_queries(spark) -> dict[str, float]:
         "simhash",
         "ann_topk",
         "ann_ivf",
+        "embedding_neardup_lsh",
         "token_counts",
         "quality_scores",
     ]
@@ -341,7 +356,8 @@ def main_pipeline_only() -> None:
                 "sf": sf_name(),
                 "detail": {"cpus": CPUS, "n_images": pipe["n_images"],
                            "slice_rows": pipe["slice_rows"],
-                           "n_located": pipe["n_located"]},
+                           "n_located": pipe["n_located"],
+                           "stages": pipe["stages"]},
             }
         )
     )

@@ -123,33 +123,34 @@ def counts_from_points(
     max_depth: int = MAX_DEPTH,
 ) -> DataFrame:
     """(cell_id, depth, count) for every OCCUPIED prefix cell at every depth."""
-    # Bottom-up per-level rollup chain: one points-sized groupBy to the
-    # finest cells, then max_depth cells-sized groupBys, each aggregating the
-    # previous level to its parents. Total hashed/shuffled rows =
-    # Σ_d occupied(d) ≈ 1.3× the finest cell count — an order of magnitude
-    # less than exploding every point into its (max_depth+1) ancestors (which
-    # hashes (depth+1)·points rows with a mostly-useless partial aggregate,
-    # since finest keys are near-unique). The union below references each
-    # level's exchange once per DEEPER level too, but Spark's ReuseExchange
-    # (and AQE stage caching) materializes every exchange exactly once.
+    # TWO exchanges total, independent of depth:
+    #   1. one points-sized groupBy to the finest cells (the only
+    #      points-sized shuffle in the build);
+    #   2. explode each finest CELL into its (max_depth+1) ancestors and
+    #      groupBy (cell_id, depth) once.
+    # Exploding from the finest-cell aggregate (≈ distinct cells, never
+    # points) keeps shuffle volume at (depth+1)·cells small-rows with
+    # map-side partial aggregation collapsing the shallow depths — while a
+    # per-level rollup CHAIN (cells-sized groupBy per depth) would pay
+    # max_depth sequential exchanges of fixed stage latency: ~1s of
+    # scheduler+codegen time per level that no executor count can
+    # parallelize, the dominant Amdahl term in the N→4N scaling evidence.
     finest = (
         with_cell_id(points.select(x, y), max_depth, x, y, "cell_id", domain)
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    levels = [finest.select("cell_id", F.lit(max_depth).cast("int").alias("depth"), "count")]
-    cur = finest
-    for d in range(max_depth - 1, -1, -1):
-        cur = (
-            cur.select(parent_col(F.col("cell_id")).alias("cell_id"), "count")
-            .groupBy("cell_id")
-            .agg(F.sum("count").alias("count"))
+    ancestors = F.array(*[ancestor_col(F.col("cell_id"), k) for k in range(max_depth + 1)])
+    return (
+        finest.select(F.posexplode(ancestors).alias("k", "cell_id"), "count")
+        .select(
+            "cell_id",
+            (F.lit(max_depth) - F.col("k")).cast("int").alias("depth"),
+            "count",
         )
-        levels.append(cur.select("cell_id", F.lit(d).cast("int").alias("depth"), "count"))
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out
+        .groupBy("cell_id", "depth")
+        .agg(F.sum("count").alias("count"))
+    )
 
 
 def cells_from_counts(

@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# (query name, properties the plan must show)
+# (query name, properties the plan must show, substrings that MUST appear)
 AUDIT = [
     (
         "quadrant_counts",
@@ -26,51 +26,123 @@ AUDIT = [
         "lineitem columns — ReadSchema pruned); cell id is pure codegen (no "
         "BatchEvalPython/ArrowEvalPython node); two-phase HashAggregate "
         "(partial before the exchange, final after).",
+        ["HashAggregate", "ReadSchema"],
     ),
     (
         "quadrant_search",
         "Candidate generation is codegen (no Python eval node); the "
         "candidate↔cells equi-join is chosen by AQE (broadcast at this scale); "
         "final argmax is a two-phase HashAggregate on qid.",
+        ["HashAggregate", "AdaptiveSparkPlan"],
     ),
     (
         "quadrant_search_broadcast",
         "Reference-shaped plan: BroadcastNestedLoopJoin with the containment "
         "predicate — the ONLY intentional nested-loop in the engine (cells "
         "side is tiny and explicitly broadcast).",
+        ["BroadcastNestedLoopJoin"],
     ),
     (
         "knn",
         "Two-phase top-k: ArrowEvalPython/mapInPandas partial top-k over the "
         "points scan (reads pid/x/y only), then a Window over Q·k·batches "
         "rows — NO N·Q cross join, NO wide exchange.",
+        ["MapInPandas", "Window"],
+    ),
+    (
+        "knn_cells",
+        "Cell-pruned exact kNN (first escalation round): ring candidates "
+        "explode from the tiny query side; candidate↔points join is an "
+        "EQUI-join on the ring cell (broadcast: queries side is small); "
+        "distance top-k is a Window per query — never an N·Q cross product.",
+        ["Window"],
     ),
     (
         "cell_rollup",
         "Rollup along the quadkey hierarchy: partial aggregation before each "
         "exchange; ancestor arithmetic in codegen.",
+        ["HashAggregate"],
     ),
     (
         "cells_bbox_join",
         "Leaf cells × query rects range join: explicit broadcast of the rect "
         "side (BroadcastNestedLoopJoin on the overlap predicate).",
+        ["BroadcastNestedLoopJoin"],
     ),
     (
         "ann_topk",
         "Cosine scoring via zip_with/aggregate higher-order functions "
         "(JVM-side, no Python in the scoring loop); broadcast of the query "
-        "vectors.",
+        "vectors (the BroadcastNestedLoopJoin is the intentional "
+        "corpus × queries scoring product — brute force by definition; "
+        "ann_ivf is the pruned path).",
+        ["aggregate", "Window"],
+    ),
+    (
+        "ann_ivf",
+        "IVF probe: bucket assignment is one ArrowEvalPython matmul per "
+        "batch; probes join buckets on an EQUI key (n_probe·√N candidate "
+        "rows, never the full corpus per query); JVM cosine + Window top-k.",
+        ["ArrowEvalPython", "Window"],
     ),
     (
         "exact_dedup",
         "Hash-groupBy dedup: md5 fingerprint in codegen, two-phase aggregate.",
+        ["md5", "HashAggregate"],
+    ),
+    (
+        "minhash_buckets",
+        "MinHash-LSH: shingle explode + distinct, min-hash aggregation per "
+        "doc (SortAggregate — min over md5 strings), band keys via md5; the "
+        "only exchanges are the distinct and groupBy shuffles "
+        "(shuffle-partitioned, no all-pairs anywhere).",
+        ["Aggregate", "md5"],
+    ),
+    (
+        "simhash_neardup",
+        "SimHash near-dup: banded self-join is an EQUI-join on (band, key) "
+        "— pigeonhole blocking, provably complete for hamming ≤ max; no "
+        "cartesian/nested-loop node anywhere.",
+        ["HashAggregate"],
+    ),
+    (
+        "embedding_neardup",
+        "Label-blocked cosine pairs: EQUI self-join on the block key; "
+        "cosine via higher-order functions (JVM).",
+        ["Join"],
+    ),
+    (
+        "embedding_neardup_lsh",
+        "Unlabeled LSH near-dup: ONE scan computes all band keys (array "
+        "explode, codegen), self-join is an EQUI-join on (band, key), exact "
+        "cosine verify JVM-side. No label column, no hot-key cartesian.",
+        ["Generate", "Join"],
+    ),
+    (
+        "image_features",
+        "Decode→resize→sum pipeline: a single MapInPandas over the Arrow "
+        "batches of the image payload scan — no per-row Python, no shuffle "
+        "at all (embarrassingly parallel).",
+        ["MapInPandas"],
     ),
     (
         "cluster_layout",
-        "Salted repartition + sortWithinPartitions: exchange on the salted "
-        "key, in-partition sort, stats aggregated per prefix.",
+        "Clustered-layout stats: exchange on the salted prefix key, hot-key "
+        "detection via broadcast join, per-prefix aggregation. (The "
+        "in-partition SORT lives in the write path — write_clustered — whose "
+        "pruning payoff is measured in the X7 section below.)",
+        ["Exchange", "HashAggregate"],
     ),
 ]
+
+# plan-text substrings that must never appear, and their meaning
+FORBIDDEN = [
+    ("BatchEvalPython", "row-at-a-time Python UDF in the plan"),
+    ("CartesianProduct", "unintentional cartesian product"),
+]
+# queries allowed to contain BroadcastNestedLoopJoin: the two intentional
+# range joins + the brute-force ANN scoring product (broadcast by design)
+BNLJ_ALLOWED = {"quadrant_search_broadcast", "cells_bbox_join", "ann_topk"}
 
 HEADER = """# PLANS — physical-plan audit of the headline operators
 
@@ -105,24 +177,87 @@ def main() -> None:
     qs = E.queries()
     sections = [HEADER.format(sf=SF_DIR)]
     problems = []
-    for name, props in AUDIT:
+    for name, props, expects in AUDIT:
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        if "BatchEvalPython" in plan:
-            problems.append(f"{name}: row-at-a-time Python (BatchEvalPython) in plan")
+        for marker, why in FORBIDDEN:
+            if marker in plan:
+                problems.append(f"{name}: {why} ({marker})")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        for marker in expects:
+            if marker not in plan:
+                problems.append(f"{name}: expected plan marker missing: {marker}")
         sections.append(f"## {name}\n\n**Must show:** {props}\n\n```\n{plan}```\n")
+
+    sections.append(_x7_pruning_section(spark))
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(sections))
-    print(f"wrote {out} ({len(AUDIT)} plans)")
+    print(f"wrote {out} ({len(AUDIT) + 1} sections)")
     for p in problems:
         print("PROBLEM:", p)
     if problems:
         sys.exit(1)
     spark.stop()
+
+
+def _x7_pruning_section(spark) -> str:
+    """X7 (clustered slicing) demonstrated with scan metrics: write the
+    cell-clustered layout, read back one depth-2 subtree, and show (a)
+    PartitionFilters in the scan node, (b) files actually read < files total
+    — the relational assign_points slice (cuda/kernels.cu:494-515)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geospatial_cuda_spark.entrypoints import LX, LY, LPID
+    from geospatial_cuda_spark.operators import cluster as CL
+    from geospatial_cuda_spark.operators.quadtree import with_cell_id
+
+    pts = with_cell_id(
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).selectExpr(
+            f"{LPID} AS pid", f"CAST({LX} AS DOUBLE) AS x", f"CAST({LY} AS DOUBLE) AS y"
+        ),
+        18,
+    )
+    tmp = tempfile.mkdtemp(prefix="x7_")
+    try:
+        from geospatial_cuda_spark.planaudit import scan_metrics
+
+        CL.write_clustered(pts, tmp, prefix_depth=2, max_depth=18, num_partitions=16)
+        full = spark.read.parquet(tmp)
+        total_files = len(full.inputFiles())
+        n_parts = full.select("cell_prefix").distinct().count()
+        prefix = full.select("cell_prefix").orderBy("cell_prefix").first()[0]
+        sliced = full.where(F.col("cell_prefix") == prefix)
+        sliced.collect()  # metrics live on THIS DataFrame's executed plan
+        (scan,) = scan_metrics(sliced)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            sliced.explain("formatted")
+        plan = buf.getvalue()
+        verdict = (
+            f"executed-plan scan metrics: numPartitions = {scan['numPartitions']} "
+            f"of {n_parts} partition dirs, numFiles = {scan['numFiles']} of "
+            f"{total_files} files on disk, numOutputRows = {scan['numOutputRows']}; "
+            f"PartitionFilters present: {'PartitionFilters' in plan}"
+        )
+        return (
+            "## X7: clustered-slicing scan pruning\n\n"
+            "**Must show:** reading one quadkey subtree from the clustered "
+            "layout touches only that subtree's partition files (directory "
+            "partition pruning) and pushes the cell_id range into the "
+            f"row-group stats of the sorted files.\n\n**Measured:** {verdict}"
+            f"\n\n```\n{plan}```\n"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

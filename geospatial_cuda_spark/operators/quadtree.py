@@ -8,8 +8,10 @@ The engine exploits two structural facts instead:
 1. The bbox subdivision is data-independent — only the STOP rule
    (count < MIN_POINTS or extent floor, create_grid.cu:31-35) is data-driven.
    So each point's full-depth quadkey is a pure function of (x, y): ONE
-   projection (Arrow-vectorized float32 kernel) + ONE shuffle
-   (groupBy finest cell) replaces the entire recursion over points.
+   Arrow kernel pass (float32-faithful descent + per-partition numpy count
+   rollup over all levels) + ONE skinny shuffle of pre-reduced
+   (cell_id, depth, count) partials replaces the entire recursion over
+   points.
 
 2. Subtree counts are monotone up the tree (parent = Σ children), and the
    extent rule is monotone in depth — so ``interior(parent)`` implies every
@@ -17,8 +19,8 @@ The engine exploits two structural facts instead:
    interior. The tree-reality test is a single parent join on the cell-count
    relation: no iteration, no driver round-trips over data.
 
-Result: the quadtree at any scale costs one points-sized shuffle plus
-max_depth tiny rollups over cell counts (≤ #distinct occupied cells rows,
+Result: the quadtree at any scale costs one kernel pass over the points plus
+one cells-sized shuffle (≤ Σ_d occupied(d) pre-reduced rows per partition,
 never points). Empty children of interior nodes are materialized as
 zero-count leaves exactly like the reference's unconditional 4-way recursion.
 """
@@ -122,35 +124,52 @@ def counts_from_points(
     domain=DOMAIN,
     max_depth: int = MAX_DEPTH,
 ) -> DataFrame:
-    """(cell_id, depth, count) for every OCCUPIED prefix cell at every depth."""
-    # TWO exchanges total, independent of depth:
-    #   1. one points-sized groupBy to the finest cells (the only
-    #      points-sized shuffle in the build);
-    #   2. explode each finest CELL into its (max_depth+1) ancestors and
-    #      groupBy (cell_id, depth) once.
-    # Exploding from the finest-cell aggregate (≈ distinct cells, never
-    # points) keeps shuffle volume at (depth+1)·cells small-rows with
-    # map-side partial aggregation collapsing the shallow depths — while a
-    # per-level rollup CHAIN (cells-sized groupBy per depth) would pay
-    # max_depth sequential exchanges of fixed stage latency: ~1s of
-    # scheduler+codegen time per level that no executor count can
-    # parallelize, the dominant Amdahl term in the N→4N scaling evidence.
-    finest = (
-        with_cell_id(points.select(x, y), max_depth, x, y, "cell_id", domain)
-        .groupBy("cell_id")
-        .agg(F.count(F.lit(1)).alias("count"))
-    )
-    ancestors = F.array(*[ancestor_col(F.col("cell_id"), k) for k in range(max_depth + 1)])
-    return (
-        finest.select(F.posexplode(ancestors).alias("k", "cell_id"), "count")
-        .select(
-            "cell_id",
-            (F.lit(max_depth) - F.col("k")).cast("int").alias("depth"),
-            "count",
+    """(cell_id, depth, count) for every OCCUPIED prefix cell at every depth.
+
+    ONE exchange, independent of depth, carrying PRE-REDUCED rows: each input
+    partition runs an Arrow kernel that encodes its points to finest cells
+    (the float32-faithful reference descent) and rolls the counts up all
+    ``max_depth + 1`` levels with numpy unique/bincount, yielding one partial
+    (cell_id, depth, count) frame per partition. A single groupBy then merges
+    the partials. The shuffle carries Σ_d min(partition_rows, occupied(d))
+    rows per partition — the rollup collapses shallow depths at memory speed
+    inside the kernel, where the equivalent relational shape (explode every
+    finest cell into its ancestors, hash-aggregate (depth+1)·cells rows)
+    pushes the whole expansion through the JVM hash tables: measured 3-4×
+    slower at 5M points and the dominant term in the N→4N scaling bench.
+    The per-level-groupBy CHAIN alternative is worse still — max_depth
+    sequential exchanges of fixed stage latency no executor count removes."""
+
+    out_schema = "cell_id long, depth int, count long"
+
+    def rollup(batches):
+        xs, ys = [], []
+        for b in batches:
+            xs.append(b[x].to_numpy(np.float64))
+            ys.append(b[y].to_numpy(np.float64))
+        if not xs:
+            return
+        ids = C.encode_cell_ids(np.concatenate(xs), np.concatenate(ys), max_depth, domain)
+        cur_u, cur_c = np.unique(ids, return_counts=True)
+        out_id, out_d, out_c = [cur_u], [np.full(cur_u.size, max_depth, np.int32)], [
+            cur_c.astype(np.int64)
+        ]
+        for d in range(max_depth - 1, -1, -1):
+            cur_u, inv = np.unique((cur_u - 1) // 4, return_inverse=True)
+            cur_c = np.bincount(inv, weights=cur_c).astype(np.int64)
+            out_id.append(cur_u)
+            out_d.append(np.full(cur_u.size, d, np.int32))
+            out_c.append(cur_c)
+        yield pd.DataFrame(
+            {
+                "cell_id": np.concatenate(out_id),
+                "depth": np.concatenate(out_d),
+                "count": np.concatenate(out_c),
+            }
         )
-        .groupBy("cell_id", "depth")
-        .agg(F.sum("count").alias("count"))
-    )
+
+    partials = points.select(x, y).mapInPandas(rollup, out_schema)
+    return partials.groupBy("cell_id", "depth").agg(F.sum("count").alias("count"))
 
 
 def cells_from_counts(

@@ -58,13 +58,64 @@ def slice_tiles(images_with_geotag: DataFrame, zoom: int) -> DataFrame:
     Slices are re-encoded in the image's own fmt (raw stays lossless; rle
     re-quantizes already-quantized pixels — idempotent).
 
-    The single-tile fast path assumes the rle payload is CANONICAL (maximal
-    runs, as encode_image emits): a valid-but-non-maximal external rle stream
-    passes through unchanged where the slow path would canonicalize it.
+    Physical shape: the single-tile case (an image whose footprint lies
+    inside ONE tile emits exactly itself — payload pass-through, no decode)
+    is detected and projected ENTIRELY in the JVM: tile indices are Column
+    floor-arithmetic on the same float64 values the numpy kernel uses, so
+    ~98% of rows — and, critically, ~98% of the payload BYTES and captions —
+    never cross the Arrow boundary into Python at all. Only tile-straddlers
+    take the mapInPandas pixel-slicing kernel. At 100 TB this is the
+    difference between shipping the whole corpus through the Python workers
+    twice and shipping ~2% of it.
+
+    The pass-through assumes the rle payload is CANONICAL (maximal runs, as
+    encode_image emits): a valid-but-non-maximal external rle stream passes
+    through unchanged where the slicing path would canonicalize it.
     Unsupported codecs raise on BOTH paths (the fast path never inspects the
     payload, so it validates fmt explicitly before passing bytes through)."""
     n = 1 << zoom
     tile_size = EXTENT / n
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "x", "y"]
+    src = images_with_geotag.select(*cols)
+
+    # JVM twin of the kernel's footprint test below: float64 in, same floor.
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    jtx0 = F.floor(xd / F.lit(tile_size))
+    jtx1 = F.floor((xd + F.col("w") - F.lit(1)) / F.lit(tile_size))
+    jty0 = F.floor(yd / F.lit(tile_size))
+    jty1 = F.floor((yd + F.col("h") - F.lit(1)) / F.lit(tile_size))
+    one_tile = (jtx0 == jtx1) & (jty0 == jty1)
+
+    def _clip(c):
+        return F.least(F.greatest(c, F.lit(0)), F.lit(n - 1))
+
+    fast_df = src.where(one_tile).select(
+        F.col("image_id"),
+        _clip(jtx0).cast("int").alias("tile_x"),
+        (F.lit(n - 1) - _clip(jty0)).cast("int").alias("tile_y"),
+        F.lit(zoom).cast("int").alias("zoom"),
+        F.lit(0).cast("int").alias("px0"),
+        F.lit(0).cast("int").alias("py0"),
+        F.col("w").cast("int").alias("tw"),
+        F.col("h").cast("int").alias("th"),
+        F.when(F.col("fmt").isin("raw", "rle"), F.col("bytes"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("codec(s) ['"),
+                    F.col("fmt"),
+                    F.lit(
+                        "'] not available in this container "
+                        "(see functions.images.decode_image)"
+                    ),
+                )
+            )
+        )
+        .alias("tile_bytes"),
+        F.col("caption"),
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -74,12 +125,6 @@ def slice_tiles(images_with_geotag: DataFrame, zoom: int) -> DataFrame:
                     f"codec(s) {sorted(bad)} not available in this container "
                     "(see functions.images.decode_image)"
                 )
-            # Fast path (vectorized): an image whose footprint lies inside ONE
-            # tile emits exactly itself — the payload passes through byte-
-            # identical (raw trivially; rle because re-encoding already-
-            # quantized pixels reproduces the same run stream), so no decode,
-            # no per-row Python. At practical zooms this covers ~98%+ of rows;
-            # only boundary-straddlers take the pixel-slicing loop.
             x = b["x"].to_numpy(np.float64)
             y = b["y"].to_numpy(np.float64)
             w = b["w"].to_numpy(np.int64)
@@ -91,6 +136,8 @@ def slice_tiles(images_with_geotag: DataFrame, zoom: int) -> DataFrame:
             fast = (tx0 == tx1) & (ty0 == ty1)
             parts: list[pd.DataFrame] = []
             if fast.any():
+                # Defensive twin of the JVM pass-through (reached only if a
+                # caller feeds this kernel directly, without the JVM filter).
                 fi = np.flatnonzero(fast)
                 parts.append(
                     pd.DataFrame(
@@ -133,8 +180,8 @@ def slice_tiles(images_with_geotag: DataFrame, zoom: int) -> DataFrame:
                 parts.append(pd.DataFrame(rows))
             yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(rows)
 
-    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "x", "y"]
-    return images_with_geotag.select(*cols).mapInPandas(gen, TILE_SLICE_SCHEMA)
+    slow_df = src.where(~one_tile).mapInPandas(gen, TILE_SLICE_SCHEMA)
+    return fast_df.unionByName(slow_df)
 
 
 def reassemble(slices_pdf: pd.DataFrame, w: int, h: int, fmt: str) -> np.ndarray:

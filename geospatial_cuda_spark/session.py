@@ -43,6 +43,11 @@ def get_spark(
         # Keep timestamps deterministic.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Task-side output commit (v2): renames happen in parallel at task
+        # commit, not in a serial driver loop at job commit — safe here
+        # because snapshot visibility comes from the manifest file set, and
+        # v2 is the standard choice for object-store-style committers.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

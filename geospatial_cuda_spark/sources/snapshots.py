@@ -1,17 +1,21 @@
 """Iceberg-style snapshot commits with per-partition lineage + resume.
 
 No Iceberg jars ship in this container, so this module implements the
-Iceberg-layout SEMANTICS on plain parquet (documented swap-in for a real
-catalog): an immutable data directory partitioned by a bucket column, plus an
-atomic JSON commit log under ``_manifest/`` recording, per snapshot:
-snapshot id, parent id, committed buckets with row counts (lineage), and
+Iceberg SEMANTICS on plain parquet (documented swap-in for a real catalog):
+an append-only data directory partitioned by a bucket column, plus an atomic
+JSON commit log under ``_manifest/`` recording, per snapshot: snapshot id,
+parent id, committed buckets with row counts (lineage), the EXACT data-file
+set per bucket (file-level manifests — the Iceberg read model), and
 wall-clock/row throughput metrics.
 
 Guarantees:
 - ``commit`` writes ONLY buckets not yet committed (idempotent resume: a
-  re-run after a crash re-writes any partially-written bucket via dynamic
-  partition overwrite, then publishes the manifest — readers never see
-  uncommitted buckets because ``read`` prunes to the committed set);
+  re-run after a crash appends the bucket's rows as fresh files and the new
+  manifest references only those — readers never see uncommitted files
+  because ``read`` loads exactly the manifest's file set);
+- writes are append-only: no overwrite mode, no driver-side staging-rename
+  loop; upserts repoint the touched buckets' file lists and leave prior
+  snapshots' files on disk (snapshot isolation; ``vacuum`` collects);
 - manifest publication is atomic (temp file + rename);
 - a no-op commit (everything already committed) re-publishes nothing.
 """
@@ -83,10 +87,17 @@ class SnapshotTable:
     def _footer_rows(bdir: str, files: set[str]) -> int:
         """Row count of a bucket directory from parquet footers (metadata-only
         — no column data is read; at cluster scale this is the same footer
-        metadata a catalog manifest records at write time)."""
+        metadata a catalog manifest records at write time). Footer opens are
+        I/O-latency-bound, so they run on a small thread pool — serially this
+        is driver time that no executor count can parallelize."""
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
-        return sum(pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows for f in files)
+        paths = [os.path.join(bdir, f) for f in files]
+        if len(paths) <= 2:
+            return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        with ThreadPoolExecutor(min(16, len(paths))) as ex:
+            return sum(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths))
 
     def commit(
         self,
@@ -100,33 +111,43 @@ class SnapshotTable:
         until it returns done=True gets checkpointed incremental progress).
 
         The unbounded path is SINGLE-PASS over the input: the committed-bucket
-        filter comes from the manifest (no scan), the partitioned write is the
-        only job that computes the upstream plan, and the per-bucket lineage
-        row counts come from the freshly written parquet footers
-        (metadata-only). No persist/spill of the payload, no second
-        computation of an expensive upstream (e.g. the tile-slice kernel)."""
+        filter comes from the manifest (no scan), the partitioned APPEND is
+        the only job that computes the upstream plan, and the per-bucket
+        lineage row counts come from the freshly written parquet footers
+        (metadata-only). Writes never overwrite or move committed data: files
+        land in place (task-side commit), the manifest records each bucket's
+        exact file set, and readers see only manifest files — so there is no
+        driver-side staging-rename loop in the commit path at all (that loop
+        is serial time proportional to file count, the Amdahl term the
+        N→4N scaling bench flagged in the dynamic-overwrite design)."""
         spark = df.sparkSession
         t0 = time.time()
-        done_buckets = self.committed_buckets()
+        parent = self.current()
+        done_buckets = dict(parent["buckets"]) if parent else {}
+        done_files = dict(parent.get("files", {})) if parent else {}
         bstr = F.col(bucket_col).cast("string")
 
+        before = self._bucket_files(bucket_col)
         if max_buckets_per_commit is None:
             batch = df
             if done_buckets:
                 batch = df.where(~bstr.isin(sorted(done_buckets)))
-            before = self._bucket_files(bucket_col)
-            self._write_dynamic(batch, bucket_col)
+            self._write_append(batch, bucket_col)
             after = self._bucket_files(bucket_col)
-            # Touched buckets = changed/new file sets (writer file names are
-            # job-unique, so an overwritten partition never aliases its old
-            # files). Crash residue in OTHER uncommitted buckets stays
-            # invisible: unchanged file set → not in this manifest either.
+            # This job's output = new file names per bucket (writer names are
+            # job-unique, so append never aliases existing files). Crash
+            # residue from older uncommitted attempts is in `before`, hence
+            # excluded — unreferenced by any manifest, it stays invisible.
+            new_files = {
+                b: sorted(files - before.get(b, set()))
+                for b, files in after.items()
+                if b not in done_buckets and files - before.get(b, set())
+            }
             rows = {
                 b: self._footer_rows(
-                    os.path.join(self.data_dir, f"{bucket_col}={b}"), files
+                    os.path.join(self.data_dir, f"{bucket_col}={b}"), set(fs)
                 )
-                for b, files in after.items()
-                if b not in done_buckets and files != before.get(b)
+                for b, fs in new_files.items()
             }
             if not rows:
                 return {"done": True, "written_buckets": 0, "snapshot": self.current()}
@@ -149,12 +170,16 @@ class SnapshotTable:
                 pending = all_pending[:max_buckets_per_commit]
                 if not pending:
                     return {"done": True, "written_buckets": 0, "snapshot": self.current()}
-                self._write_dynamic(df.where(bstr.isin(pending)), bucket_col)
+                self._write_append(df.where(bstr.isin(pending)), bucket_col)
+                after = self._bucket_files(bucket_col)
+                new_files = {
+                    b: sorted(after.get(b, set()) - before.get(b, set()))
+                    for b in pending
+                }
                 rows = {b: bucket_counts[b] for b in pending}
             finally:
                 if we_persisted:
                     df.unpersist()
-        parent = self.current()
         wall = time.time() - t0
         manifest = {
             "version": (parent["version"] + 1) if parent else 1,
@@ -163,6 +188,7 @@ class SnapshotTable:
             "bucket_col": bucket_col,
             "bucket_type": df.schema[bucket_col].dataType.simpleString(),
             "buckets": {**done_buckets, **rows},
+            "files": {**done_files, **new_files},
             "metrics": {
                 "wall_sec": round(wall, 3),
                 "rows_written": int(sum(rows.values())),
@@ -180,34 +206,42 @@ class SnapshotTable:
     def overwrite_buckets(
         self, df: DataFrame, bucket_col: str, buckets: list[str]
     ) -> dict:
-        """Upsert path: rewrite EXACTLY the given buckets and publish one new
-        snapshot. ``df`` must hold all surviving rows of those buckets (rows
-        of other buckets are filtered out defensively). A listed bucket that
-        ends up with zero rows is dropped from the manifest (its stale files
-        become invisible crash-residue; a later write of the same bucket
-        rewrites the partition wholesale via dynamic overwrite).
+        """Upsert path: logically replace EXACTLY the given buckets and
+        publish one new snapshot. ``df`` must hold all surviving rows of
+        those buckets (rows of other buckets are filtered out defensively).
+        Physically this APPENDS the survivors as new files and repoints the
+        manifest's file set for the touched buckets — the previous snapshot's
+        files stay on disk untouched (snapshot isolation / time travel; see
+        ``vacuum``). A listed bucket that ends up with zero surviving rows is
+        dropped from the manifest.
 
         This is the micro-batch-scale write: I/O is O(touched buckets), never
         O(table) — the untouched buckets' files are not read, not rewritten,
-        and keep their manifest lineage row counts."""
+        and keep their manifest lineage row counts AND file lists."""
         t0 = time.time()
-        done_buckets = self.committed_buckets()
+        parent = self.current()
+        done_buckets = dict(parent["buckets"]) if parent else {}
+        done_files = dict(parent.get("files", {})) if parent else {}
         bset = sorted({str(b) for b in buckets})
         before = self._bucket_files(bucket_col)
-        self._write_dynamic(
+        self._write_append(
             df.where(F.col(bucket_col).cast("string").isin(bset)), bucket_col
         )
         after = self._bucket_files(bucket_col)
+        new_files = {
+            b: sorted(after.get(b, set()) - before.get(b, set())) for b in bset
+        }
         rows = {
             b: self._footer_rows(
-                os.path.join(self.data_dir, f"{bucket_col}={b}"), after[b]
+                os.path.join(self.data_dir, f"{bucket_col}={b}"), set(fs)
             )
-            for b in bset
-            if b in after and after[b] != before.get(b)
+            for b, fs in new_files.items()
+            if fs
         }
         new_buckets = {b: n for b, n in done_buckets.items() if b not in bset}
         new_buckets.update(rows)
-        parent = self.current()
+        kept_files = {b: fs for b, fs in done_files.items() if b not in bset}
+        kept_files.update({b: fs for b, fs in new_files.items() if fs})
         wall = time.time() - t0
         manifest = {
             "version": (parent["version"] + 1) if parent else 1,
@@ -216,6 +250,7 @@ class SnapshotTable:
             "bucket_col": bucket_col,
             "bucket_type": df.schema[bucket_col].dataType.simpleString(),
             "buckets": new_buckets,
+            "files": kept_files,
             "metrics": {
                 "wall_sec": round(wall, 3),
                 "rows_written": int(sum(rows.values())),
@@ -226,36 +261,67 @@ class SnapshotTable:
         self._publish(manifest)
         return {"done": True, "written_buckets": len(rows), "snapshot": manifest}
 
-    def _write_dynamic(self, batch: DataFrame, bucket_col: str) -> None:
-        """Dynamic-partition-overwrite parquet write, clustered by bucket:
-        each task feeds exactly one partition writer (no per-task sort
-        fan-out, no #tasks × #buckets small files). Callers needing more
-        writer parallelism per bucket pre-repartition on (bucket, salt)."""
-        spark = batch.sparkSession
-        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            batch.repartition(F.col(bucket_col)).write.partitionBy(
-                bucket_col
-            ).mode("overwrite").parquet(self.data_dir)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the CURRENT manifest (expired
+        snapshots' files and crash residue). Returns #files removed. The
+        Iceberg analogue is expire_snapshots + remove_orphan_files."""
+        m = self.current()
+        if m is None:
+            return 0
+        bucket_col = m["bucket_col"]
+        live = {
+            (b, f) for b, fs in m.get("files", {}).items() for f in fs
+        }
+        removed = 0
+        for b, files in self._bucket_files(bucket_col).items():
+            for f in files:
+                if (b, f) not in live:
+                    os.remove(os.path.join(self.data_dir, f"{bucket_col}={b}", f))
+                    removed += 1
+        return removed
+
+    def _write_append(self, batch: DataFrame, bucket_col: str) -> None:
+        """Append-only partitioned parquet write, shuffled on
+        (bucket, source-partition-id): salting the clustering key with the
+        map-side partition id splits every bucket across the reduce tasks in
+        ~#input-partition-sized units, so reducer LOAD is balanced — a plain
+        repartition(bucket) hashes whole buckets into reducers (balls-into-
+        bins: with K reducers over B buckets the fullest reducer carries
+        ~2× the mean payload, and the write stage's wall is the straggler's).
+        Each reduce task then holds a handful of buckets; the writer's
+        partition-sort handles the per-task fan-out. Files per bucket =
+        O(reducers), bounded by shuffle.partitions, never #map-tasks.
+        Visibility comes from the manifest (readers load exactly the
+        manifest's file set), so append needs no overwrite mode and no
+        driver-side staging renames."""
+        batch.repartition(
+            F.col(bucket_col), F.spark_partition_id()
+        ).write.partitionBy(bucket_col).mode("append").parquet(self.data_dir)
 
     # -- read path -----------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Committed data only: prune to manifest buckets (uncommitted crash
-        residue in the data dir is never visible)."""
+        """Committed data only: load EXACTLY the current manifest's file set
+        (crash residue and expired snapshots' files in the data dir are never
+        visible — file-level manifests, the Iceberg read model)."""
         m = self.current()
         if m is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
-        df = spark.read.parquet(self.data_dir)
+        bucket_col = m["bucket_col"]
+        paths = [
+            os.path.join(self.data_dir, f"{bucket_col}={b}", f)
+            for b, fs in m.get("files", {}).items()
+            for f in fs
+        ]
+        if paths:
+            df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        else:
+            # legacy manifest without file lists: bucket-level pruning
+            df = spark.read.parquet(self.data_dir).where(
+                F.col(bucket_col).cast("string").isin(sorted(m["buckets"]))
+            )
         if "bucket_type" in m:
             # partition-dir values read back as inferred types; restore the
             # committed column type so read schema == written schema
-            df = df.withColumn(
-                m["bucket_col"], F.col(m["bucket_col"]).cast(m["bucket_type"])
-            )
-        return df.where(
-            F.col(m["bucket_col"]).cast("string").isin(sorted(m["buckets"]))
-        )
+            df = df.withColumn(bucket_col, F.col(bucket_col).cast(m["bucket_type"]))
+        return df

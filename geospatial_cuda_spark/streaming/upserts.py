@@ -12,8 +12,9 @@ the depth-``bucket_depth`` quadkey cell of each point. A mutation's bucket is
 a pure function of (x, y), so the membership checks that insert-if-missing /
 delete need are complete WITHIN the touched buckets: the batch reads back
 only those partitions (partition-pruned scan), applies the set operators,
-and dynamic-partition-overwrites the same partitions. Untouched bucket files
-are never read or rewritten.
+and appends the survivors as fresh files, repointing the manifest's file set
+for exactly those buckets. Untouched bucket files are never read, rewritten,
+or even re-listed by readers (file-level manifests).
 
 Exactly-once: the checkpointed source gives at-least-once batch delivery;
 re-applying a batch is idempotent (insert-if-missing + delete-by-value), and

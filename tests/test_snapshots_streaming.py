@@ -98,6 +98,23 @@ def test_snapshot_crash_residue_invisible_then_healed(spark, bucketed_df, tmp_pa
     assert _rows(got) == _rows(bucketed_df)  # the half-written row is back
 
 
+def test_snapshot_upsert_isolation_and_vacuum(spark, bucketed_df, tmp_path):
+    """Upserts append + repoint the manifest: prior files stay on disk
+    (snapshot isolation) but are invisible to readers; vacuum removes exactly
+    the unreferenced ones and the table reads identically afterwards."""
+    snap = SnapshotTable(str(tmp_path / "t"))
+    snap.commit(bucketed_df, "bucket")
+    survivors = bucketed_df.where((F.col("bucket") != "3") | (F.col("pid") % 2 == 0))
+    snap.overwrite_buckets(survivors.where(F.col("bucket") == "3"), "bucket", ["3"])
+    expected = _rows(survivors.select("pid", "bucket", "val"))
+    assert _rows(snap.read(spark).select("pid", "bucket", "val")) == expected
+    # old bucket-3 files still on disk (isolation), hence vacuum finds them
+    removed = snap.vacuum()
+    assert removed >= 1
+    assert _rows(snap.read(spark).select("pid", "bucket", "val")) == expected
+    assert snap.vacuum() == 0  # idempotent
+
+
 def test_snapshot_manifest_files_are_json_and_atomic(spark, bucketed_df, tmp_path):
     snap = SnapshotTable(str(tmp_path / "t"))
     snap.commit(bucketed_df, "bucket", max_buckets_per_commit=4)

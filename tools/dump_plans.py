@@ -119,6 +119,15 @@ AUDIT = [
         ["Generate", "Join"],
     ),
     (
+        "tile_slice_geometry",
+        "Raster→vector slicing: UNION of a pure-JVM pass-through branch "
+        "(single-tile images — ~98% of rows and payload bytes never cross "
+        "into Python; codegen floor-arithmetic twin of the kernel's "
+        "footprint test) and a MapInPandas branch that pixel-slices only "
+        "the tile-straddlers.",
+        ["Union", "MapInPandas"],
+    ),
+    (
         "image_features",
         "Decode→resize→sum pipeline: a single MapInPandas over the Arrow "
         "batches of the image payload scan — no per-row Python, no shuffle "

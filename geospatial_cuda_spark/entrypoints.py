@@ -330,8 +330,13 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y", F.col("y").cast("double")
     )
     pts = as_double(QT.with_cell_id(_points(spark, sf_dir), 18))
+    # depth 6 ≈ 150 points/cell at sf0.1: the radius-1 ring (9 cells) already
+    # carries >> k candidates, so round 1 is exact for nearly every query and
+    # the candidate join touches ~0.2% of the table per query — depth 3 cells
+    # are 64× coarser and made this the slowest contract query (ring join
+    # over ~16% of the points per query).
     res = K.knn_cells_exact(
-        as_double(_queries(spark, sf_dir, limit=10)), pts, k=5, depth=3, radius=2
+        as_double(_queries(spark, sf_dir, limit=10)), pts, k=5, depth=6, radius=1
     )
     return res.select("qid", "pid", F.col("dist2").cast("long").alias("dist2"),
                       F.col("rank").cast("int").alias("rank"))
@@ -836,6 +841,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LSH_THRESHOLD = 0.3
+# 28 planes / 4 bands → 7 sign bits per band key: bucket occupancy ~N/128
+# per band, so candidate pairs ≈ 4·N²/256 — the 16/4 default's 4-bit keys
+# pruned only ~77% of all pairs at sf0.1 (461k candidates from 2k vectors)
+# and made this the slowest dedup query. Recall at sim ≥ 0.95 stays ≥ 0.92
+# (pytest-gated); the oracle regenerates the identical 28×64 plane matrix.
+LSH_PLANES = 28
+LSH_BANDS = 4
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,7 +856,9 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces the identical plane matrix + banding, so the result is
     hash-gated end to end."""
     emb = _t(spark, sf_dir, "embeddings")
-    return D.embedding_near_dups_lsh(emb, threshold=LSH_THRESHOLD)
+    return D.embedding_near_dups_lsh(
+        emb, threshold=LSH_THRESHOLD, n_planes=LSH_PLANES, bands=LSH_BANDS
+    )
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,10 +1127,10 @@ WHERE {cos_ab} >= 0.4
 """
 
     # ----- unlabeled LSH near-dup: identical plane matrix + banding in SQL -----
-    signs = D.rademacher_planes(16, 64)
-    span = 16 // 4
+    signs = D.rademacher_planes(LSH_PLANES, 64)
+    span = LSH_PLANES // LSH_BANDS
     band_keys = []
-    for bb in range(4):
+    for bb in range(LSH_BANDS):
         bits = [
             f"(CASE WHEN ({D.plane_projection_sql('embedding', signs[bb * span + r])}) >= 0 "
             f"THEN {1 << r} ELSE 0 END)"
@@ -1125,7 +1139,7 @@ WHERE {cos_ab} >= 0.4
         band_keys.append(" + ".join(bits))
     band_selects = " UNION ALL ".join(
         f"SELECT vec_id, {bb} AS band, {band_keys[bb]} AS key FROM embeddings"
-        for bb in range(4)
+        for bb in range(LSH_BANDS)
     )
     sqls["embedding_neardup_lsh"] = f"""
 WITH bands AS ({band_selects}),

@@ -10,10 +10,12 @@ hash() anywhere a result crosses the oracle boundary).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.text import fingerprint_col, shingles_expr
-from ..functions.vectors import cosine_col
+from ..functions.vectors import cosine_col, dot_col_fixed, norm_col_fixed
 from ..util import splitmix64
 
 LSH_SEED = 0x5EEDED
@@ -206,15 +208,23 @@ def rademacher_planes(n_planes: int, dim: int, seed: int = LSH_SEED) -> np.ndarr
 
 
 def _plane_projection_col(emb, signs_row: np.ndarray):
-    """Sequential-fold dot product of the embedding with a ±1 plane — the
-    fold order (left-to-right in double) is what the SQL twin reproduces, so
-    the sign bit matches bit-for-bit across engines."""
-    lits = F.array(*[F.lit(float(s)) for s in signs_row])
-    return F.aggregate(
-        F.zip_with(emb, lits, lambda x, s: x.cast("double") * s),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
-    )
+    """±1-plane projection as an UNROLLED left-associated signed sum of
+    element_at terms — identical fp order to the SQL twin's ``± CAST(e[i])``
+    chain (x·(−1) ≡ −x and acc+(−x) ≡ acc−x are exact), so the sign bit
+    matches bit-for-bit across engines. Unrolled instead of a higher-order
+    aggregate because ArrayAggregate is CodegenFallback (interpreted per
+    element); plain arithmetic stays inside whole-stage codegen. Callers
+    projecting many planes should pre-extract the elements once (see
+    embedding_lsh_buckets) and pass the columns via ``els``."""
+    return _signed_sum([F.element_at(emb, d + 1).cast("double") for d in range(len(signs_row))], signs_row)
+
+
+def _signed_sum(els, signs_row: np.ndarray):
+    out = None
+    for c, sgn in zip(els, signs_row):
+        term = c if sgn > 0 else -c
+        out = term if out is None else out + term
+    return out
 
 
 def plane_projection_sql(emb_sql: str, signs_row: np.ndarray) -> str:
@@ -241,22 +251,34 @@ def embedding_lsh_buckets(
     are computed in a single projection, then exploded."""
     signs = rademacher_planes(n_planes, dim, seed)
     span = n_planes // bands
-    bits = [
-        (_plane_projection_col(F.col(emb), signs[p]) >= 0).cast("long")
-        for p in range(n_planes)
-    ]
-    band_structs = []
-    for b in range(bands):
-        key = None
-        for r in range(span):
-            term = bits[b * span + r] * F.lit(1 << r)
-            key = term if key is None else key + term
-        band_structs.append(
-            F.struct(F.lit(b).cast("int").alias("band"), key.alias("key"))
-        )
+
+    # All n_planes projections in ONE Arrow kernel: per element index d (in
+    # order) accumulate acc_p += (±1)_p,d · float64(x_d) — the same
+    # left-associated double summation as the SQL twin's ``± CAST(e[d])``
+    # chain, so sign bits match bit-for-bit. A Column rendering of 28×64
+    # signed adds trips the JVM's 64 KB per-method codegen limit (falls back
+    # to interpreted, ~3× slower end-to-end) and the higher-order aggregate
+    # form is CodegenFallback by construction — the kernel is the fast AND
+    # faithful route.
+    @F.pandas_udf(ArrayType(LongType()))
+    def _band_keys(embs: pd.Series) -> pd.Series:
+        x = np.stack(embs.to_numpy())  # (n, dim) float32
+        n = x.shape[0]
+        acc = np.zeros((n, n_planes), np.float64)
+        for d in range(dim):
+            acc += x[:, d].astype(np.float64)[:, None] * signs[:, d][None, :]
+        bits = (acc >= 0).astype(np.int64)
+        keys = np.zeros((n, bands), np.int64)
+        for b in range(bands):
+            for r in range(span):
+                keys[:, b] += bits[:, b * span + r] << r
+        return pd.Series(list(keys))
+
     return embeddings.select(
-        F.col(vec_id), F.col(emb), F.explode(F.array(*band_structs)).alias("_bk")
-    ).select(vec_id, emb, F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
+        F.col(vec_id),
+        F.col(emb),
+        F.posexplode(_band_keys(F.col(emb))).alias("band", "key"),
+    ).select(vec_id, emb, F.col("band").cast("int"), "key")
 
 
 def embedding_near_dups_lsh(
@@ -276,15 +298,43 @@ def embedding_near_dups_lsh(
     the judged contract query's oracle reproduces the bucketing exactly, so
     the comparison is deterministic regardless of recall."""
     bk = embedding_lsh_buckets(embeddings, n_planes, bands, dim, seed, vec_id, emb)
-    a = bk.select(F.col(vec_id).alias("a"), F.col(emb).alias("_va"), "band", "key")
-    b = bk.select(F.col(vec_id).alias("b"), F.col(emb).alias("_vb"), "band", "key")
-    return (
-        a.join(b, on=["band", "key"])
+    # Candidate generation is IDS-ONLY: the band-bucket self-join and the
+    # cross-band dedup shuffle skinny (a, b) rows — the 64-float arrays never
+    # ride through the candidate explosion. Vectors are fetched per UNIQUE
+    # pair by two equi-joins back to the corpus (AQE broadcasts the small
+    # side at test scale; shuffle-hash at corpus scale), then scored ONCE
+    # with the fixed-dim unrolled cosine (plain codegen arithmetic — the HOF
+    # aggregate form is interpreted per element, ~10x slower; summation
+    # order identical, so hash-parity with the DuckDB oracle is preserved).
+    ids = bk.select(vec_id, "band", "key")
+    cand = (
+        ids.select(F.col(vec_id).alias("a"), "band", "key")
+        .join(ids.select(F.col(vec_id).alias("b"), "band", "key"), on=["band", "key"])
         .where(F.col("a") < F.col("b"))
-        .withColumn("sim", F.round(cosine_col(F.col("_va"), F.col("_vb")), 6))
+        .select("a", "b")
+        .distinct()
+    )
+    # per-side norms precomputed in their own projections: the join stage
+    # then codegens a single 64-term dot — inlining all three dot products
+    # there trips the 64 KB method limit and de-optimizes the whole stage.
+    va = embeddings.select(
+        F.col(vec_id).alias("a"), F.col(emb).alias("_va"),
+        norm_col_fixed(F.col(emb), dim).alias("_na"),
+    )
+    vb = embeddings.select(
+        F.col(vec_id).alias("b"), F.col(emb).alias("_vb"),
+        norm_col_fixed(F.col(emb), dim).alias("_nb"),
+    )
+    sim = F.round(
+        dot_col_fixed(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb")),
+        6,
+    )
+    return (
+        cand.join(va, on="a")
+        .join(vb, on="b")
+        .withColumn("sim", sim)
         .where(F.col("sim") >= threshold)
         .select("a", "b", "sim")
-        .distinct()
     )
 
 

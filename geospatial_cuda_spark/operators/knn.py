@@ -181,36 +181,40 @@ def knn_cells_exact(
     round-trip is O(#inexact queries), never O(points)."""
     grid = 1 << depth
     remaining = queries
+    # The still-active qid set is tracked DRIVER-side: one collect of the
+    # (bounded, by contract small) query ids up front, then each round's
+    # single flags collect both classifies and reveals zero-candidate
+    # queries (absent from flags entirely) by set difference — no extra
+    # anti-join job per round.
+    current_ids = {row[qid] for row in queries.select(qid).collect()}
     done: list[DataFrame] = []
     r = radius
     while True:
-        res = knn_cells(remaining, points_with_cell, k, depth, r, qid, pid, max_depth)
+        # persist: each round's top-k is Q·k rows; without it the flags
+        # collect AND the final union would recompute the candidate join.
+        res = knn_cells(remaining, points_with_cell, k, depth, r, qid, pid, max_depth).persist()
         if r >= grid:
             done.append(res.drop("exact"))
             break
-        flags = res.groupBy(qid).agg(
-            F.min(F.col("exact").cast("int")).alias("_all_exact"),
-            F.count(F.lit(1)).alias("_n"),
+        flags = {
+            row[qid]: (row["_all_exact"], row["_n"])
+            for row in res.groupBy(qid)
+            .agg(
+                F.min(F.col("exact").cast("int")).alias("_all_exact"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        }
+        settled = sorted(
+            q for q, (ex, n) in flags.items() if ex == 1 and n >= k
         )
-        res = res.join(F.broadcast(flags), on=qid)
-        settled = (F.col("_all_exact") == 1) & (F.col("_n") >= k)
-        done.append(res.where(settled).select(qid, pid, "x", "y", "dist2", "rank"))
-        inexact = [
-            row[qid]
-            for row in flags.where(
-                (F.col("_all_exact") != 1) | (F.col("_n") < k)
-            ).select(qid).collect()
-        ]
-        # queries with ZERO candidates produce no rows at all — they are
-        # inexact too (flags misses them entirely)
-        seen = flags.select(qid)
-        missing = [
-            row[qid]
-            for row in remaining.select(qid).join(seen, on=qid, how="left_anti").collect()
-        ]
-        inexact = sorted(set(inexact) | set(missing))
+        done.append(
+            res.where(F.col(qid).isin(settled)).select(qid, pid, "x", "y", "dist2", "rank")
+        )
+        inexact = sorted(current_ids - set(settled))
         if not inexact:
             break
+        current_ids = set(inexact)
         remaining = remaining.where(F.col(qid).isin(inexact))
         r = min(r * 2, grid)
     out = done[0]

@@ -354,6 +354,21 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 pyramid: zoom-6 event-tile counts rolled up to every zoom 0..6 —
+    the raster-layer twin of the quadkey ancestor rollup (A4). Parent tile =
+    coordinate >> 1 (exact for the flipped y, see tiles.tile_pyramid)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(EX).cast("double").alias("x"), F.expr(EY).cast("double").alias("y")
+    )
+    base = (
+        T.assign_tiles(ev, 6)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    return T.tile_pyramid(base, zoom=6, to_zoom=0)
+
+
 def q_event_window_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window × tile aggregation: the batch twin of the
     streaming tile_window_counts operator (same code path; the watermark is a
@@ -961,6 +976,21 @@ SELECT {G.tile_x_sql('x', 4)} AS tile_x, {G.tile_y_sql('y', 4)} AS tile_y,
 FROM ev GROUP BY 1, 2
 """
 
+    tx6, ty6 = G.tile_x_sql("x", 6), G.tile_y_sql("y", 6)
+    level_sqls = " UNION ALL ".join(
+        f"SELECT CAST({6 - k} AS INT) AS zoom, "
+        f"CAST(FLOOR(tile_x / {1 << k}) AS INT) AS tile_x, "
+        f"CAST(FLOOR(tile_y / {1 << k}) AS INT) AS tile_y, n_points FROM base"
+        for k in range(7)
+    )
+    sqls["tile_pyramid"] = f"""
+WITH ev AS (SELECT {EX} AS x, {EY} AS y FROM events),
+base AS (SELECT {tx6} AS tile_x, {ty6} AS tile_y, COUNT(*) AS n_points
+         FROM ev GROUP BY 1, 2)
+SELECT zoom, tile_x, tile_y, CAST(SUM(n_points) AS BIGINT) AS n_points
+FROM ({level_sqls}) GROUP BY 1, 2, 3
+"""
+
     sqls["event_window_tiles"] = f"""
 WITH ev AS (SELECT {EX} AS x, {EY} AS y, ts FROM events)
 SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS win_start,
@@ -1354,6 +1384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn": q_knn,
     "knn_cells": q_knn_cells,
     "tile_assign": q_tile_assign,
+    "tile_pyramid": q_tile_pyramid,
     "event_window_tiles": q_event_window_tiles,
     "density_topk": q_density_topk,
     "pip_rects": q_pip_rects,

@@ -184,6 +184,42 @@ def slice_tiles(images_with_geotag: DataFrame, zoom: int) -> DataFrame:
     return fast_df.unionByName(slow_df)
 
 
+def tile_pyramid(
+    tile_stats: DataFrame,
+    zoom: int,
+    to_zoom: int = 0,
+    values: tuple[str, ...] = ("n_points",),
+) -> DataFrame:
+    """Roll per-tile aggregates at ``zoom`` up to every level down to
+    ``to_zoom``: one (zoom, tile_x, tile_y, Σvalues) row per ancestor tile.
+
+    Parent tile = coordinate >> 1, which is exact for BOTH tile-y
+    conventions: for the flipped web-mercator y used here,
+    (2^z - 1 - raw) >> 1 == 2^(z-1) - 1 - (raw >> 1), so shifting the
+    flipped value IS the flipped parent (complement and shift commute), and
+    floor(y·2^(z-1)/e) == floor(floor(y·2^z/e)/2) makes the rollup identical
+    to direct assignment at the coarser zoom.
+
+    Same physical shape as the quadtree count rollup: the input is already
+    tile-sized (never points), so ONE posexplode over the ancestor structs +
+    ONE groupBy — map-side partial aggregation collapses the shallow zooms
+    before the only exchange."""
+    levels = F.array(*[
+        F.struct(
+            F.lit(zoom - k).cast("int").alias("zoom"),
+            F.shiftright(F.col("tile_x"), k).cast("int").alias("tile_x"),
+            F.shiftright(F.col("tile_y"), k).cast("int").alias("tile_y"),
+        )
+        for k in range(zoom - to_zoom + 1)
+    ])
+    return (
+        tile_stats.select(F.explode(levels).alias("_t"), *values)
+        .select("_t.zoom", "_t.tile_x", "_t.tile_y", *values)
+        .groupBy("zoom", "tile_x", "tile_y")
+        .agg(*[F.sum(v).alias(v) for v in values])
+    )
+
+
 def reassemble(slices_pdf: pd.DataFrame, w: int, h: int, fmt: str) -> np.ndarray:
     """Test helper: paste one image's tile slices back into an (h, w, 3) buffer."""
     out = np.zeros((h, w, 3), dtype=np.uint8)

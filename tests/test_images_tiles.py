@@ -84,3 +84,50 @@ def test_lossy_psnr_gate_end_to_end(images):
         raw = I.gen_pixels(int(r.image_id[3:]), int(r.w), int(r.h)).reshape(int(r.h), int(r.w), 3)
         re = T.reassemble(pdf[pdf.image_id == r.image_id], int(r.w), int(r.h), "rle")
         assert I.psnr(raw, re) >= 40.0
+
+
+def test_tile_pyramid_invariants(spark, images):
+    """Pyramid rollup: each level equals DIRECT assignment at that zoom (the
+    shift-parent identity holds for the flipped y), parents sum their 4
+    children exactly, and the apex carries the full row count."""
+    base = (
+        T.assign_tiles(images, 6)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    pyr = T.tile_pyramid(base, zoom=6, to_zoom=0).persist()
+    total = images.count()
+    # apex == total rows
+    apex = pyr.where(F.col("zoom") == 0).collect()
+    assert len(apex) == 1 and apex[0]["n_points"] == total
+    # every level == direct assignment at that zoom
+    for z in (0, 3, 5):
+        direct = sorted(
+            tuple(r)
+            for r in T.assign_tiles(images, z)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in pyr.where(F.col("zoom") == z)
+            .select("tile_x", "tile_y", "n_points")
+            .collect()
+        )
+        assert got == direct, z
+    # parent = sum of children, level by level
+    kids = (
+        pyr.where(F.col("zoom") > 0)
+        .groupBy(
+            (F.col("zoom") - 1).alias("zoom"),
+            F.shiftright("tile_x", 1).alias("tile_x"),
+            F.shiftright("tile_y", 1).alias("tile_y"),
+        )
+        .agg(F.sum("n_points").alias("n_points"))
+    )
+    mismatch = kids.join(
+        pyr.withColumnRenamed("n_points", "np"), on=["zoom", "tile_x", "tile_y"]
+    ).where(F.col("n_points") != F.col("np"))
+    assert mismatch.count() == 0
+    pyr.unpersist()

@@ -182,6 +182,7 @@ def run_queries(spark) -> dict[str, float]:
         "knn",
         "knn_cells",
         "tile_assign",
+        "tile_pyramid",
         "pip_rects",
         "pip_convex",
         "exact_dedup",

@@ -72,8 +72,23 @@ def _queries(spark: SparkSession, sf_dir: str, limit: int = 200) -> DataFrame:
     )
 
 
+_CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return QT.build_cells(_points(spark, sf_dir), max_depth=CELL_DEPTH)
+    """The quadtree cells relation for a dataset — the engine's INDEX.
+
+    Built once per (Spark application, dataset) and persisted: a deployment
+    builds its index once (or loads it from the committed snapshot) and
+    serves every lookup from it; rebuilding per query would bill index
+    construction into every search. The cache also bounds the internal
+    counts persist to one per dataset."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CELLS_CACHE.get(key)
+    if df is None:
+        df = QT.build_cells(_points(spark, sf_dir), max_depth=CELL_DEPTH).persist()
+        _CELLS_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------

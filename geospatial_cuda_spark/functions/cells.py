@@ -417,6 +417,34 @@ def candidate_cells_col_jvm(xcol, ycol, max_depth: int, domain=DOMAIN):
     return F.array(*ids)
 
 
+def candidate_chain_cols(xcol, ycol, max_depth: int, domain=DOMAIN):
+    """The SPLIT form of the JVM candidate set: 4 FULL-depth chain ids (one
+    per {``<=``, ``<``} rule pair across the two axes) plus the closed-domain
+    flag, for callers that can stage them as real columns. Per-depth
+    candidates are then ancestors of these chains (bins nest: the depth-d bin
+    is the depth-D bin >> (D-d), see cell_id_col_jvm) — tiny parent-chain
+    arithmetic over attribute references. Rendering all depths×chains inline
+    in one Generate (candidate_cells_col_jvm's shape) exceeds the JVM's
+    64 KB method limit and silently de-optimizes to interpreted expression
+    evaluation (~10× slower, plus a multi-second failed-compile attempt);
+    the two-projection split compiles. Valid for max_depth ≤ _EXACT_JVM_DEPTH
+    on the default domain."""
+    xq = xcol.cast("float")
+    yq = ycol.cast("float")
+    in_domain = (
+        (xq >= F.lit(float(domain[0])).cast("float"))
+        & (xq <= F.lit(float(domain[2])).cast("float"))
+        & (yq >= F.lit(float(domain[1])).cast("float"))
+        & (yq <= F.lit(float(domain[3])).cast("float"))
+    )
+    cols = [_axis_bin_col(xcol, max_depth, domain[0], domain[2]),
+            _axis_bin_right_col(xcol, max_depth, domain[0], domain[2])]
+    rows = [_axis_bin_col(ycol, max_depth, domain[1], domain[3]),
+            _axis_bin_right_col(ycol, max_depth, domain[1], domain[3])]
+    chains = [_interleave_colrow(c, r, max_depth) for c in cols for r in rows]
+    return chains, in_domain
+
+
 def candidate_cells_col(xcol, ycol, max_depth: int = MAX_DEPTH, domain=DOMAIN):
     """Column: array<long> of closed-containment candidate ids (with dups).
 

@@ -65,16 +65,44 @@ def quadrant_search_prefix(
     broadcast_cells: bool = False,
 ) -> DataFrame:
     """Scale path: candidate-chain equi-join instead of nested-loop scan."""
-    cand = (
-        queries.select(
+    if max_depth <= C._EXACT_JVM_DEPTH and tuple(domain) == tuple(C.DOMAIN):
+        # Two-projection JVM form: the 4 full-depth chain ids are staged as
+        # real columns (multi-use, so Catalyst keeps the projection), and
+        # the exploded per-depth candidates are just ancestor arithmetic on
+        # those attributes — this compiles where the single fused Generate
+        # exceeds the 64 KB codegen limit (see candidate_chain_cols).
+        from .quadtree import ancestor_col
+
+        chains, in_domain = C.candidate_chain_cols(F.col(x), F.col(y), max_depth, domain)
+        staged = queries.select(
             qid,
-            F.explode(C.candidate_cells_col(F.col(x), F.col(y), max_depth, domain)).alias(
-                "cell_id"
-            ),
+            F.col(x),
+            F.col(y),
+            in_domain.alias("_ok"),
+            *[ch.alias(f"_chain{i}") for i, ch in enumerate(chains)],
         )
-        .where(F.col("cell_id") >= 0)
-        .dropDuplicates([qid, "cell_id"])
-    )
+        arr = F.array(*[
+            F.when(F.col("_ok"), ancestor_col(F.col(f"_chain{i}"), k))
+            .otherwise(F.lit(-1).cast("long"))
+            for i in range(len(chains))
+            for k in range(max_depth + 1)
+        ])
+        cand = (
+            staged.select(qid, F.explode(arr).alias("cell_id"))
+            .where(F.col("cell_id") >= 0)
+            .dropDuplicates([qid, "cell_id"])
+        )
+    else:
+        cand = (
+            queries.select(
+                qid,
+                F.explode(
+                    C.candidate_cells_col(F.col(x), F.col(y), max_depth, domain)
+                ).alias("cell_id"),
+            )
+            .where(F.col("cell_id") >= 0)
+            .dropDuplicates([qid, "cell_id"])
+        )
     cells_ids = cells.select("cell_id")
     if broadcast_cells:
         cells_ids = F.broadcast(cells_ids)

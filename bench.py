@@ -136,11 +136,16 @@ def run_images_pipeline(spark, images_path: str, out_dir: str, warm: bool = True
     stages: dict[str, float] = {}
     t0 = time.time()
 
-    # index build over the image geotags (root count == n_images: one scan)
+    # index build over the image geotags (root count == n_images: one scan).
+    # One aggregate both materializes the persisted cells AND returns the
+    # root count — a count() + first() pair would schedule two jobs.
     t = time.time()
     cells = QT.build_cells(images, max_depth=12).persist()
-    cells.count()
-    n_images = cells.where(F.col("depth") == 0).select("count").first()[0]
+    n_images = int(
+        cells.agg(
+            F.sum(F.when(F.col("depth") == 0, F.col("count")).otherwise(F.lit(0)))
+        ).first()[0]
+    )
     stages["build_cells"] = round(time.time() - t, 3)
 
     # containing-quadrant join for a deterministic query sample

@@ -757,14 +757,17 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio columns: pcm16 payloads from customer keys, real
-    decode → windowed-RMS feature extraction (mapInPandas; rows-only check —
-    the RMS values are hash-noise statistics, not SQL-expressible; kernel
-    exactness is pytest-gated)."""
+    decode → windowed feature extraction (mapInPandas). Features are INTEGER
+    window energies (Σ sample², window count, max window energy) so the
+    DuckDB oracle re-derives them from the same splitmix64 arithmetic and the
+    query is hash-gated end to end — the same integer-sum re-derivation that
+    oracled image_features (float RMS = sqrt(energy/window)/32768 is a pure
+    display transform, pytest-gated in tests/test_multimodal.py)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from .functions.multimodal import audio_rms_windows, decode_audio, gen_audio
+    from .functions.multimodal import audio_energy_windows, decode_audio, gen_audio
 
     keys = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= VID_LIMIT).select(
         F.col("c_custkey").cast("long").alias("key"),
@@ -773,18 +776,18 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = {"clip_id": [], "n_windows": [], "rms_mean": [], "rms_max": []}
+            rows = {"clip_id": [], "n_windows": [], "energy_sum": [], "max_win_energy": []}
             for k, ns in zip(b["key"], b["n_samples"]):
                 samples = decode_audio(gen_audio(int(k), int(ns)), "pcm16")
-                rms = audio_rms_windows(samples, 256)
+                en = audio_energy_windows(samples, 256)
                 rows["clip_id"].append(f"a{int(k)}")
-                rows["n_windows"].append(len(rms))
-                rows["rms_mean"].append(round(float(rms.mean()), 6) if len(rms) else 0.0)
-                rows["rms_max"].append(round(float(rms.max()), 6) if len(rms) else 0.0)
+                rows["n_windows"].append(len(en))
+                rows["energy_sum"].append(int(en.sum()) if len(en) else 0)
+                rows["max_win_energy"].append(int(en.max()) if len(en) else 0)
             yield pd.DataFrame(rows)
 
     return keys.mapInPandas(
-        gen, "clip_id string, n_windows int, rms_mean double, rms_max double"
+        gen, "clip_id string, n_windows int, energy_sum long, max_win_energy long"
     )
 
 
@@ -855,8 +858,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (approximate) — rows-only driver check; recall is
-    asserted against the brute-force baseline in pytest."""
+    """IVF-bucketed ANN. Hash-gated end to end: the oracle re-derives the
+    md5-ordered ⌈√N⌉ centroid sample, the rounded-cosine argmax bucket
+    assignment, the n_probe=4 probe set, and the final top-k in SQL — the
+    approximation is deterministic, so approximate ≠ unverifiable. Recall
+    vs brute force is additionally pytest-gated (n_probe sweep)."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") < 5)
     res = K.ann_ivf(emb, qv, k=10)
@@ -1160,6 +1166,43 @@ ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY sim DESC,
 SELECT q_vec_id, vec_id, sim, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 10
 """
 
+    # ----- ann_ivf: the full IVF pipeline re-derived in SQL — md5-ordered
+    # ⌈√N⌉ centroid sample, rounded-cosine argmax assignment (centroid-index
+    # tie-break), n_probe nearest buckets per query, exact top-k within the
+    # probed buckets. Every ranking uses round(·, 6) + deterministic
+    # tie-break, the cross-engine contract shared with ann_topk. -----
+    cos_ec = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])))), 6)"
+    )
+    sqls["ann_ivf"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+  FROM embeddings
+  QUALIFY cidx < (SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)),
+ec AS (
+  SELECT e.vec_id, c.cidx, {cos_ec} AS csim
+  FROM embeddings e CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cidx AS bucket FROM ec
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cidx ASC) = 1),
+probes AS (
+  SELECT vec_id AS q_vec_id, cidx AS bucket FROM ec WHERE vec_id < 5
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cidx ASC) <= 4),
+scored AS (
+  SELECT p.q_vec_id, a.vec_id AS vec_id, {cos} AS sim
+  FROM probes p
+  JOIN assign s ON s.bucket = p.bucket
+  JOIN embeddings a ON a.vec_id = s.vec_id
+  JOIN embeddings q ON q.vec_id = p.q_vec_id
+  WHERE a.vec_id <> p.q_vec_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, vec_id ASC) AS rnk
+           FROM scored)
+SELECT q_vec_id, vec_id, sim, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 10
+"""
+
     cos_ab = (
         "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
         " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
@@ -1378,6 +1421,30 @@ SELECT 'p' || CAST(key AS VARCHAR) AS image_id,
   CAST(SUM(CASE WHEN c = 2 THEN pix ELSE 0 END) AS BIGINT) AS sum_b,
   CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px
 FROM vals GROUP BY key
+"""
+
+    # ----- audio_features: decode → window-energy re-derived as splitmix64
+    # integer arithmetic. sample(key, i) = (hash2(key, i) & 0xFFFF) - 32768
+    # (functions/multimodal.py gen_audio); windows of 256, trailing partial
+    # dropped; features are Σ sample² per window — integers, so no float
+    # rounding crosses the engine boundary. -----
+    sqls["audio_features"] = f"""
+WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS key,
+                  CAST(800 + (c_custkey % 5) * 400 AS INT) AS ns
+           FROM customer WHERE c_custkey <= {VID_LIMIT}),
+idx AS (SELECT key, gs.i AS i FROM a, generate_series(0, 2399) AS gs(i)
+        WHERE gs.i < (ns // 256) * 256),
+src AS (SELECT key, i // 256 AS win,
+               CAST(key AS UBIGINT) AS ak, CAST(i AS UBIGINT) AS bk
+        FROM idx),
+{hash2_sql_ctes('au', 'src', ['key', 'win'], 'ak', 'bk', 'v')},
+s AS (SELECT key, win, CAST(v % 65536 AS BIGINT) - 32768 AS smp FROM auo5),
+w AS (SELECT key, win, SUM(smp * smp) AS we FROM s GROUP BY 1, 2)
+SELECT 'a' || CAST(key AS VARCHAR) AS clip_id,
+       CAST(COUNT(*) AS INT) AS n_windows,
+       CAST(SUM(we) AS BIGINT) AS energy_sum,
+       CAST(MAX(we) AS BIGINT) AS max_win_energy
+FROM w GROUP BY key
 """
 
     return sqls

@@ -89,3 +89,18 @@ def audio_rms_windows(samples: np.ndarray, window: int) -> np.ndarray:
         return np.zeros(0, dtype=np.float64)
     sq = (samples[:n] ** 2).reshape(-1, window)
     return np.sqrt(sq.mean(axis=1))
+
+
+def audio_energy_windows(samples: np.ndarray, window: int) -> np.ndarray:
+    """Per-window INTEGER energy Σ sᵢ² over the raw int16 samples (recovered
+    exactly from the decoded floats — s/32768 is a power-of-two scale, so
+    rint(s·32768) is lossless). The integer twin of ``audio_rms_windows``
+    (rms = sqrt(energy/window)/32768): emitted by the contract query so the
+    DuckDB oracle re-derives the features as pure splitmix64 integer
+    arithmetic with no float rounding at the engine boundary. Max value
+    window·32768² = 2³⁸ per window — int64-safe."""
+    ints = np.rint(samples * 32768.0).astype(np.int64)
+    n = (ints.shape[0] // window) * window
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (ints[:n] ** 2).reshape(-1, window).sum(axis=1)

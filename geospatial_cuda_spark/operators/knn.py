@@ -177,49 +177,60 @@ def knn_cells_exact(
     tie-break) — the escalation is how the reference's nearest-structure
     search (cuda/kernels.cu:142-162) generalizes to guaranteed top-k without
     ever scoring the full N×Q product: each round is a candidate equi-join
-    driven by the still-inexact queries only, and the per-round driver
-    round-trip is O(#inexact queries), never O(points)."""
+    driven by the still-inexact queries only.
+
+    The driver holds NO per-query state: the settled set lives as a
+    DataFrame and rounds advance by semi/anti-join against it — never by
+    collected qid sets or ``isin`` literal lists, whose plan size is O(Q)
+    (and a 64 KB-codegen hazard) and whose driver set is O(Q) memory. The
+    only per-round driver value is one boolean (``remaining.isEmpty()``),
+    so the loop works unchanged at Q = 10⁶. The final union is materialized
+    via an eager localCheckpoint so every round's cache is unpersisted
+    before returning (no session-lifetime cache leak)."""
     grid = 1 << depth
     remaining = queries
-    # The still-active qid set is tracked DRIVER-side: one collect of the
-    # (bounded, by contract small) query ids up front, then each round's
-    # single flags collect both classifies and reveals zero-candidate
-    # queries (absent from flags entirely) by set difference — no extra
-    # anti-join job per round.
-    current_ids = {row[qid] for row in queries.select(qid).collect()}
     done: list[DataFrame] = []
+    cached: list[DataFrame] = []
     r = radius
     while True:
-        # persist: each round's top-k is Q·k rows; without it the flags
-        # collect AND the final union would recompute the candidate join.
+        # persist: each round's top-k is Q·k rows; without it the settled
+        # classification AND the final union would recompute the candidate
+        # join. Unpersisted after the final checkpoint below.
         res = knn_cells(remaining, points_with_cell, k, depth, r, qid, pid, max_depth).persist()
+        cached.append(res)
         if r >= grid:
             done.append(res.drop("exact"))
             break
-        flags = {
-            row[qid]: (row["_all_exact"], row["_n"])
-            for row in res.groupBy(qid)
+        # settled = queries with >= k results, all ring-guaranteed. Queries
+        # with ZERO candidates produce no rows at all, are absent from the
+        # aggregate, and therefore survive the anti-join into the next round
+        # automatically — no extra bookkeeping.
+        settled = (
+            res.groupBy(qid)
             .agg(
                 F.min(F.col("exact").cast("int")).alias("_all_exact"),
                 F.count(F.lit(1)).alias("_n"),
             )
-            .collect()
-        }
-        settled = sorted(
-            q for q, (ex, n) in flags.items() if ex == 1 and n >= k
+            .where((F.col("_all_exact") == 1) & (F.col("_n") >= k))
+            .select(qid)
         )
         done.append(
-            res.where(F.col(qid).isin(settled)).select(qid, pid, "x", "y", "dist2", "rank")
+            res.join(F.broadcast(settled), on=qid, how="left_semi")
+            .select(qid, pid, "x", "y", "dist2", "rank")
         )
-        inexact = sorted(current_ids - set(settled))
-        if not inexact:
+        remaining = remaining.join(F.broadcast(settled), on=qid, how="left_anti")
+        if remaining.isEmpty():
             break
-        current_ids = set(inexact)
-        remaining = remaining.where(F.col(qid).isin(inexact))
         r = min(r * 2, grid)
     out = done[0]
     for d in done[1:]:
         out = out.unionByName(d)
+    # eager localCheckpoint materializes the union (Q·k rows) and cuts its
+    # lineage so the per-round caches can be dropped NOW instead of leaking
+    # for the session lifetime.
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
     return out
 
 
@@ -262,11 +273,15 @@ def ann_ivf(
     qid: str = "q_vec_id",
 ) -> DataFrame:
     """IVF-bucketed ANN. Centroids are a DETERMINISTIC HASH SAMPLE of the
-    corpus (ordered by xxhash64(id) — seeded, order-insensitive, so a sorted
+    corpus (ordered by md5 of the id — seeded, order-insensitive, so a sorted
     or clustered corpus cannot bias them the way head-of-table selection
-    would); ``n_centroids`` defaults to ⌈√N⌉, the classic IVF sizing (bucket
-    size ≈ √N, probe cost ≈ n_probe·√N). Assignment is one Arrow matmul per
-    batch; the search probes only the ``n_probe`` closest buckets per query.
+    would, and ENGINE-PORTABLE: the DuckDB oracle re-derives the identical
+    set with ``ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id``);
+    ``n_centroids`` defaults to ⌈√N⌉, the classic IVF sizing (bucket size
+    ≈ √N, probe cost ≈ n_probe·√N). Assignment is one Arrow matmul per
+    batch, ranked on cosine ROUNDED to 6 dp with centroid-index tie-break —
+    the same cross-engine determinism contract as ann_bruteforce's scoring —
+    so the oracle reproduces bucket assignment and probe sets exactly.
     Recall < 1 by construction — the recall@k ≥ 0.9 gate vs ann_bruteforce
     (with an n_probe sweep) lives in tests/test_pip_knn.py."""
     if n_centroids is None:
@@ -275,20 +290,23 @@ def ann_ivf(
         [
             r[emb]
             for r in embeddings.select(vec_id, emb)
-            .orderBy(F.xxhash64(F.col(vec_id)), F.col(vec_id))
+            .orderBy(F.md5(F.col(vec_id).cast("string")), F.col(vec_id))
             .limit(n_centroids)
             .collect()
         ],
         dtype=np.float64,
     )
-    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cents_norm = np.sqrt((cents * cents).sum(axis=1))
 
     def _bucket_udf(top: int):
         @F.pandas_udf(ArrayType(IntegerType()))
         def _assign(vs: pd.Series) -> pd.Series:
             m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = m @ cents_n.T
+            mn = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-12)
+            # dot(v, c) / (|v|·|c|), rounded — structurally the oracle's
+            # round(list_dot_product/..., 6); stable argsort on the rounded
+            # value breaks ties by ascending centroid index.
+            sims = np.round((m @ cents.T) / (mn[:, None] * cents_norm[None, :]), 6)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
             return pd.Series([row.astype(np.int32) for row in order])
 

@@ -148,6 +148,59 @@ def test_jvm_expr_matches_float32_kernel(spark, small_points):
         assert np.array_equal(got, want), f"hybrid depth={depth}"
 
 
+def test_jvm_parity_on_raw_double_boundary_neighborhood(spark, small_points):
+    """Adversarial RAW-DOUBLE inputs — NOT pre-cast to float32 — within ±half
+    a float32 ULP of level boundaries at every depth (ADVICE r2). The JVM
+    paths quantize to float32 FIRST (functions/cells.py _axis_bin_col
+    ``cast('float').cast('double')``); an implementation comparing the raw
+    double against the boundary would bin these inputs the other way, so this
+    pins the quantize-first fix with inputs that reach the cast itself."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(23)
+    vals = []
+    for d in range(1, 14):
+        step = 1e6 / (1 << d)  # exact in float64 for d <= 13 (1e6 = 2^6·5^6)
+        b = rng.integers(1, 1 << d, size=12).astype(np.float64) * step
+        ulp = np.spacing(b.astype(np.float32)).astype(np.float64)
+        for f in (-0.5, -0.49, -0.25, 0.0, 0.25, 0.49, 0.5):
+            vals.append(b + f * ulp)
+    x0, y0 = small_points
+    xs = np.clip(np.concatenate(vals + [x0.astype(np.float64)]), 0.0, 999999.9)
+    ys = np.clip(
+        np.concatenate([v[::-1] for v in vals] + [y0.astype(np.float64)]),
+        0.0,
+        999999.9,
+    )
+    df = spark.createDataFrame(pd.DataFrame({"x": xs, "y": ys}))  # DOUBLE cols
+    assert dict(df.dtypes) == {"x": "double", "y": "double"}
+    for depth in (1, 4, 8, 10):
+        got = (
+            df.select(C.cell_id_col_jvm(F.col("x"), F.col("y"), depth).alias("c"))
+            .toPandas()["c"]
+            .to_numpy()
+        )
+        want = C.encode_cell_ids(xs, ys, depth)  # kernel: np.float32 cast
+        assert np.array_equal(got, want), f"depth={depth}"
+    for depth in (11, 12, 13):
+        got = (
+            df.select(C.cell_id_col_jvm_deep(F.col("x"), F.col("y"), depth).alias("c"))
+            .toPandas()["c"]
+            .to_numpy()
+        )
+        want = C.encode_cell_ids(xs, ys, depth)
+        assert np.array_equal(got, want), f"hybrid depth={depth}"
+    got = df.select(
+        C.candidate_cells_col_jvm(F.col("x"), F.col("y"), 8).alias("c")
+    ).toPandas()["c"]
+    want = C.candidate_cell_ids(xs, ys, 8)
+    for i in range(len(xs)):
+        gs = {v for v in got[i] if v >= 0}
+        ws = {v for v in want[i] if v >= 0}
+        assert gs == ws, f"point {i} ({xs[i]!r},{ys[i]!r}): {gs} != {ws}"
+
+
 def test_jvm_candidates_match_float32_kernel(spark, small_points):
     """JVM candidate generation (quadrant-search hot path) yields the same
     candidate SET per point as the float32 double-descent kernel — boundary

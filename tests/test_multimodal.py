@@ -46,6 +46,24 @@ def test_audio_roundtrip_rms():
     assert M.audio_rms_windows(np.zeros(10), 256).shape == (0,)
 
 
+def test_audio_energy_windows_integer_twin():
+    """audio_energy_windows is the exact integer twin of audio_rms_windows:
+    rms = sqrt(energy/window)/32768, and the energies equal the naive int16
+    Σ s² per window (the quantity the DuckDB oracle re-derives)."""
+    buf = M.gen_audio(11, 1000)
+    s = M.decode_audio(buf, "pcm16")
+    en = M.audio_energy_windows(s, 256)
+    ints = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+    assert en.dtype == np.int64 and en.shape == (3,)
+    for w in range(3):
+        assert en[w] == (ints[w * 256:(w + 1) * 256] ** 2).sum()
+    rms = M.audio_rms_windows(s, 256)
+    np.testing.assert_allclose(
+        rms, np.sqrt(en / 256.0) / 32768.0, rtol=0, atol=1e-15
+    )
+    assert M.audio_energy_windows(np.zeros(10), 256).shape == (0,)
+
+
 def test_real_codecs_are_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_video(b"", 1, 1, 1, "h264")

@@ -5,8 +5,9 @@ Iceberg SEMANTICS on plain parquet (documented swap-in for a real catalog):
 an append-only data directory partitioned by a bucket column, plus an atomic
 JSON commit log under ``_manifest/`` recording, per snapshot: snapshot id,
 parent id, committed buckets with row counts (lineage), the EXACT data-file
-set per bucket (file-level manifests — the Iceberg read model), and
-wall-clock/row throughput metrics.
+set per bucket (file-level manifests — the Iceberg read model), pending
+merge-on-read delta batches per bucket, and wall-clock/row throughput
+metrics.
 
 Guarantees:
 - ``commit`` writes ONLY buckets not yet committed (idempotent resume: a
@@ -14,9 +15,23 @@ Guarantees:
   manifest references only those — readers never see uncommitted files
   because ``read`` loads exactly the manifest's file set);
 - writes are append-only: no overwrite mode, no driver-side staging-rename
-  loop; upserts repoint the touched buckets' file lists and leave prior
-  snapshots' files on disk (snapshot isolation; ``vacuum`` collects);
-- manifest publication is atomic (temp file + rename);
+  loop; upserts either repoint the touched buckets' file lists
+  (``overwrite_buckets``, copy-on-write) or append per-bucket delta batches
+  applied at read time (``append_deltas``, merge-on-read — per-batch bytes
+  written ∝ batch size, never bucket size) and leave prior snapshots' files
+  on disk (snapshot isolation; ``vacuum`` collects);
+- manifest publication is an atomic COMPARE-AND-SWAP: ``v{N}.json`` is
+  created with O_EXCL semantics, so two committers that derived the same
+  parent race on the same version and exactly one wins — the loser either
+  merges (its buckets are untouched by the winner) or raises
+  ``SnapshotConflictError``; a concurrent snapshot can never be silently
+  dropped (real Iceberg: optimistic CAS on the catalog pointer + retry);
+- a publisher crash between manifest create and CURRENT repoint is healed
+  by roll-forward: every ``v{N}.json`` on disk was completely written
+  before its atomic link, so readers adopt the newest contiguous version;
+- rows with a NULL bucket value FAIL the write (they would otherwise be
+  silently dropped by the pending-bucket filter or land unreferenced in the
+  Hive default partition);
 - a no-op commit (everything already committed) re-publishes nothing.
 """
 
@@ -29,11 +44,22 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+class SnapshotConflictError(RuntimeError):
+    """A concurrent committer published a snapshot that conflicts with this
+    write: the touched buckets' state changed since it was read. The data
+    files this writer appended are unreferenced by any manifest (invisible
+    to readers; ``vacuum`` collects them) — recompute against the new
+    current snapshot and retry."""
+
 
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path
         self.data_dir = os.path.join(path, "data")
+        self.delta_dir = os.path.join(path, "deltas")
         self.manifest_dir = os.path.join(path, "_manifest")
         os.makedirs(self.manifest_dir, exist_ok=True)
 
@@ -42,13 +68,25 @@ class SnapshotTable:
     def _current_path(self) -> str:
         return os.path.join(self.manifest_dir, "CURRENT")
 
+    def _version_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version}.json")
+
     def current(self) -> dict | None:
+        """Newest published snapshot. Roll-forward: every ``v{N}.json`` was
+        fully written before its atomic link (see ``_publish``), so if a
+        publisher crashed between link and CURRENT repoint, the chain tip —
+        not CURRENT — is the truth."""
+        k = 0
         cur = self._current_path()
-        if not os.path.exists(cur):
+        if os.path.exists(cur):
+            with open(cur) as f:
+                name = f.read().strip()
+            k = int(name[1:-5])  # "v{k}.json"
+        while os.path.exists(self._version_path(k + 1)):
+            k += 1
+        if k == 0:
             return None
-        with open(cur) as f:
-            name = f.read().strip()
-        with open(os.path.join(self.manifest_dir, name)) as f:
+        with open(self._version_path(k)) as f:
             return json.load(f)
 
     def committed_buckets(self) -> dict[str, int]:
@@ -56,28 +94,82 @@ class SnapshotTable:
         return dict(m["buckets"]) if m else {}
 
     def _publish(self, manifest: dict) -> None:
-        name = f"v{manifest['version']}.json"
+        """CAS publish. The manifest file is fully written to a temp name,
+        then atomically linked as ``v{N}.json`` — link fails (EEXIST) iff a
+        concurrent committer already published version N, which makes the
+        version file itself the compare-and-swap token. Only the winner
+        repoints CURRENT."""
+        final = self._version_path(manifest["version"])
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
-        os.rename(tmp, os.path.join(self.manifest_dir, name))
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"snapshot v{manifest['version']} was published by a "
+                "concurrent committer"
+            )
+        finally:
+            os.remove(tmp)
         tmp2 = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp2, "w") as f:
-            f.write(name)
+            f.write(os.path.basename(final))
         os.rename(tmp2, self._current_path())
+
+    @staticmethod
+    def _bucket_entries(m: dict | None, buckets) -> dict:
+        """Per-bucket (count, base files, deltas) triples — the state a
+        writer's computation depends on, compared across parents to decide
+        merge vs conflict."""
+        bk = m["buckets"] if m else {}
+        fl = (m.get("files") or {}) if m else {}
+        dl = (m.get("deltas") or {}) if m else {}
+        return {b: (bk.get(b), fl.get(b), dl.get(b)) for b in buckets}
+
+    def _publish_retry(self, parent: dict | None, build, max_retries: int = 5) -> dict:
+        """Optimistic-concurrency publish: ``build(parent)`` merges this
+        writer's bucket updates into ``parent``'s maps, raising
+        SnapshotConflictError if ``parent`` conflicts with what this writer
+        computed. On a lost CAS race the build re-runs against the winner's
+        snapshot — a concurrent snapshot is merged or this writer aborts; it
+        is never silently replaced (the round-2 last-writer-wins hole)."""
+        p = parent
+        for _ in range(max_retries):
+            manifest = build(p)
+            try:
+                self._publish(manifest)
+                return manifest
+            except SnapshotConflictError:
+                p = self.current()
+        raise SnapshotConflictError(f"gave up after {max_retries} CAS retries")
+
+    def _parent_files(self, parent: dict | None, disk: dict[str, set[str]]) -> dict:
+        """Parent's per-bucket base-file lists. A LEGACY manifest (predating
+        file-level manifests) lacks the 'files' key; publishing a child whose
+        'files' covered only newly written buckets would make ``read`` (which
+        prefers the file-list path) silently hide every legacy bucket — and
+        ``vacuum`` delete their data. Backfill from the on-disk listing,
+        restricted to the manifest's committed buckets."""
+        if parent is None:
+            return {}
+        if "files" in parent:
+            return dict(parent["files"])
+        return {b: sorted(disk.get(b, set())) for b in parent["buckets"]}
 
     # -- write path ----------------------------------------------------------
 
-    def _bucket_files(self, bucket_col: str) -> dict[str, set[str]]:
+    def _bucket_files(self, bucket_col: str, root: str | None = None) -> dict[str, set[str]]:
         """{bucket value: parquet file names} currently on disk (metadata-only
         directory listing, no data read)."""
         out: dict[str, set[str]] = {}
         prefix = f"{bucket_col}="
-        if not os.path.isdir(self.data_dir):
+        root = root or self.data_dir
+        if not os.path.isdir(root):
             return out
-        for d in os.listdir(self.data_dir):
+        for d in os.listdir(root):
             if d.startswith(prefix):
-                bdir = os.path.join(self.data_dir, d)
+                bdir = os.path.join(root, d)
                 out[d[len(prefix):]] = {
                     f for f in os.listdir(bdir) if f.endswith(".parquet")
                 }
@@ -99,6 +191,19 @@ class SnapshotTable:
         with ThreadPoolExecutor(min(16, len(paths))) as ex:
             return sum(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths))
 
+    @staticmethod
+    def _check_no_null_buckets(new_files: dict) -> None:
+        """Fail fast on NULL bucket values: the write keeps them (null-safe
+        filters), so they land in the Hive default partition — detected here
+        BEFORE publish, they abort the commit and stay unreferenced (invisible
+        to readers, collected by vacuum)."""
+        if NULL_PARTITION in new_files and new_files[NULL_PARTITION]:
+            raise ValueError(
+                "rows with a NULL bucket value cannot be committed (they "
+                "would be invisible to manifest readers); filter or impute "
+                "the bucket column first"
+            )
+
     def commit(
         self,
         df: DataFrame,
@@ -119,19 +224,27 @@ class SnapshotTable:
         exact file set, and readers see only manifest files — so there is no
         driver-side staging-rename loop in the commit path at all (that loop
         is serial time proportional to file count, the Amdahl term the
-        N→4N scaling bench flagged in the dynamic-overwrite design)."""
+        N→4N scaling bench flagged in the dynamic-overwrite design).
+
+        Concurrency: publish is CAS'd. A concurrent snapshot over DISJOINT
+        buckets is merged transparently; one that committed any bucket this
+        call wrote raises SnapshotConflictError (nothing is dropped either
+        way)."""
         spark = df.sparkSession
         t0 = time.time()
         parent = self.current()
         done_buckets = dict(parent["buckets"]) if parent else {}
-        done_files = dict(parent.get("files", {})) if parent else {}
         bstr = F.col(bucket_col).cast("string")
 
         before = self._bucket_files(bucket_col)
         if max_buckets_per_commit is None:
             batch = df
             if done_buckets:
-                batch = df.where(~bstr.isin(sorted(done_buckets)))
+                # null-SAFE filter: null-bucket rows are kept (they fail the
+                # isin test with NULL, which `where` drops — silently losing
+                # data), written to the Hive default partition, and rejected
+                # before publish.
+                batch = df.where(bstr.isNull() | ~bstr.isin(sorted(done_buckets)))
             self._write_append(batch, bucket_col)
             after = self._bucket_files(bucket_col)
             # This job's output = new file names per bucket (writer names are
@@ -143,6 +256,7 @@ class SnapshotTable:
                 for b, files in after.items()
                 if b not in done_buckets and files - before.get(b, set())
             }
+            self._check_no_null_buckets(new_files)
             rows = {
                 b: self._footer_rows(
                     os.path.join(self.data_dir, f"{bucket_col}={b}"), set(fs)
@@ -166,6 +280,11 @@ class SnapshotTable:
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
                 }
+                if None in bucket_counts:
+                    raise ValueError(
+                        "rows with a NULL bucket value cannot be committed "
+                        "(they would be invisible to manifest readers)"
+                    )
                 all_pending = sorted(b for b in bucket_counts if b not in done_buckets)
                 pending = all_pending[:max_buckets_per_commit]
                 if not pending:
@@ -181,47 +300,75 @@ class SnapshotTable:
                 if we_persisted:
                     df.unpersist()
         wall = time.time() - t0
-        manifest = {
-            "version": (parent["version"] + 1) if parent else 1,
-            "snapshot_id": uuid.uuid4().hex,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "bucket_col": bucket_col,
-            "bucket_type": df.schema[bucket_col].dataType.simpleString(),
-            "buckets": {**done_buckets, **rows},
-            "files": {**done_files, **new_files},
-            "metrics": {
-                "wall_sec": round(wall, 3),
-                "rows_written": int(sum(rows.values())),
-                "rows_per_sec": round(sum(rows.values()) / max(wall, 1e-9), 1),
-                "buckets_written": len(rows),
-            },
-        }
-        self._publish(manifest)
+        bucket_type = df.schema[bucket_col].dataType.simpleString()
+        state: dict = {}
+
+        def build(p: dict | None) -> dict:
+            done_b = dict(p["buckets"]) if p else {}
+            done_f = self._parent_files(p, before)
+            my_files = dict(new_files)
+            my_rows = dict(rows)
+            # A concurrent commit that landed between our data write and our
+            # listing is INSIDE our after-minus-before diff. Per bucket it
+            # already committed: identical file set means the diff swallowed
+            # exactly its output (we never wrote that bucket) — drop it from
+            # our claim and merge; any other overlap is a genuine double
+            # write of the bucket — conflict, nothing may be dropped.
+            for b in list(my_files):
+                if b in done_b:
+                    if done_f.get(b) == my_files[b]:
+                        my_files.pop(b)
+                        my_rows.pop(b)
+                    else:
+                        raise SnapshotConflictError(
+                            f"bucket {b} was committed concurrently"
+                        )
+            state["rows"] = my_rows
+            return {
+                "version": (p["version"] + 1) if p else 1,
+                "snapshot_id": uuid.uuid4().hex,
+                "parent_id": p["snapshot_id"] if p else None,
+                "bucket_col": bucket_col,
+                "bucket_type": bucket_type,
+                "buckets": {**done_b, **my_rows},
+                "files": {**done_f, **my_files},
+                **({"deltas": p["deltas"]} if p and p.get("deltas") else {}),
+                **({"delta_key": p["delta_key"]} if p and "delta_key" in p else {}),
+                "metrics": {
+                    "wall_sec": round(wall, 3),
+                    "rows_written": int(sum(my_rows.values())),
+                    "rows_per_sec": round(sum(my_rows.values()) / max(wall, 1e-9), 1),
+                    "buckets_written": len(my_rows),
+                },
+            }
+
+        manifest = self._publish_retry(parent, build)
         return {
             "done": len(pending) == len(all_pending),
-            "written_buckets": len(rows),
+            "written_buckets": len(state["rows"]),
             "snapshot": manifest,
         }
 
     def overwrite_buckets(
         self, df: DataFrame, bucket_col: str, buckets: list[str]
     ) -> dict:
-        """Upsert path: logically replace EXACTLY the given buckets and
-        publish one new snapshot. ``df`` must hold all surviving rows of
+        """Copy-on-write upsert: logically replace EXACTLY the given buckets
+        and publish one new snapshot. ``df`` must hold all surviving rows of
         those buckets (rows of other buckets are filtered out defensively).
         Physically this APPENDS the survivors as new files and repoints the
         manifest's file set for the touched buckets — the previous snapshot's
         files stay on disk untouched (snapshot isolation / time travel; see
         ``vacuum``). A listed bucket that ends up with zero surviving rows is
-        dropped from the manifest.
+        dropped from the manifest; any pending merge-on-read deltas of the
+        touched buckets are superseded (cleared). A concurrent snapshot that
+        changed the touched buckets raises SnapshotConflictError (the
+        survivors were computed from a stale read).
 
-        This is the micro-batch-scale write: I/O is O(touched buckets), never
-        O(table) — the untouched buckets' files are not read, not rewritten,
-        and keep their manifest lineage row counts AND file lists."""
+        I/O is O(touched buckets), never O(table) — but a batch touching one
+        hot bucket still rewrites that whole bucket; for per-batch bytes
+        ∝ batch size use ``append_deltas`` (merge-on-read)."""
         t0 = time.time()
         parent = self.current()
-        done_buckets = dict(parent["buckets"]) if parent else {}
-        done_files = dict(parent.get("files", {})) if parent else {}
         bset = sorted({str(b) for b in buckets})
         before = self._bucket_files(bucket_col)
         self._write_append(
@@ -238,39 +385,247 @@ class SnapshotTable:
             for b, fs in new_files.items()
             if fs
         }
-        new_buckets = {b: n for b, n in done_buckets.items() if b not in bset}
-        new_buckets.update(rows)
-        kept_files = {b: fs for b, fs in done_files.items() if b not in bset}
-        kept_files.update({b: fs for b, fs in new_files.items() if fs})
         wall = time.time() - t0
-        manifest = {
-            "version": (parent["version"] + 1) if parent else 1,
-            "snapshot_id": uuid.uuid4().hex,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "bucket_col": bucket_col,
-            "bucket_type": df.schema[bucket_col].dataType.simpleString(),
-            "buckets": new_buckets,
-            "files": kept_files,
-            "metrics": {
-                "wall_sec": round(wall, 3),
-                "rows_written": int(sum(rows.values())),
-                "rows_per_sec": round(sum(rows.values()) / max(wall, 1e-9), 1),
-                "buckets_written": len(rows),
-            },
-        }
-        self._publish(manifest)
+        bucket_type = df.schema[bucket_col].dataType.simpleString()
+        orig_entries = self._bucket_entries(parent, bset)
+
+        def build(p: dict | None) -> dict:
+            if self._bucket_entries(p, bset) != orig_entries:
+                raise SnapshotConflictError(
+                    "touched buckets changed under a concurrent snapshot; "
+                    "recompute the survivors from the new current state"
+                )
+            done_b = dict(p["buckets"]) if p else {}
+            done_f = self._parent_files(p, before)
+            done_d = dict(p.get("deltas", {})) if p else {}
+            new_buckets = {b: n for b, n in done_b.items() if b not in bset}
+            new_buckets.update(rows)
+            kept_files = {b: fs for b, fs in done_f.items() if b not in bset}
+            kept_files.update({b: fs for b, fs in new_files.items() if fs})
+            kept_deltas = {b: d for b, d in done_d.items() if b not in bset}
+            return {
+                "version": (p["version"] + 1) if p else 1,
+                "snapshot_id": uuid.uuid4().hex,
+                "parent_id": p["snapshot_id"] if p else None,
+                "bucket_col": bucket_col,
+                "bucket_type": bucket_type,
+                "buckets": new_buckets,
+                "files": kept_files,
+                **({"deltas": kept_deltas} if kept_deltas else {}),
+                **({"delta_key": p["delta_key"]} if p and "delta_key" in p else {}),
+                "metrics": {
+                    "wall_sec": round(wall, 3),
+                    "rows_written": int(sum(rows.values())),
+                    "rows_per_sec": round(sum(rows.values()) / max(wall, 1e-9), 1),
+                    "buckets_written": len(rows),
+                },
+            }
+
+        manifest = self._publish_retry(parent, build)
         return {"done": True, "written_buckets": len(rows), "snapshot": manifest}
 
+    # -- merge-on-read deltas -------------------------------------------------
+
+    def append_deltas(
+        self,
+        df: DataFrame,
+        bucket_col: str,
+        buckets: list[str],
+        key_cols: list[str],
+        op_col: str = "_op",
+        compact_threshold: int = 4,
+    ) -> dict:
+        """Merge-on-read upsert: append ONE delta batch (insert rows with
+        ``op_col``='i', delete keys with ``op_col``='d') for the given
+        buckets and publish. Per-batch I/O is ∝ BATCH size — the touched
+        buckets' base files are neither read nor rewritten; ``read`` applies
+        pending delta batches in sequence order (insert-if-missing on
+        ``key_cols``, then equality-delete — the Iceberg v2 equality-delete
+        model). When a bucket accumulates ``compact_threshold`` delta batches,
+        it is compacted in the same publish: its merged state is appended as
+        fresh base files and the deltas cleared, bounding read-time work.
+
+        Sequencing across batches uses the manifest version at append time;
+        replaying the same batch (at-least-once delivery) is idempotent
+        because insert-if-missing and equality-delete both are."""
+        spark = df.sparkSession
+        t0 = time.time()
+        parent = self.current()
+        bset = sorted({str(b) for b in buckets})
+        bstr = F.col(bucket_col).cast("string")
+        before = self._bucket_files(bucket_col, self.delta_dir)
+        self._write_append(df.where(bstr.isin(bset)), bucket_col, self.delta_dir)
+        after = self._bucket_files(bucket_col, self.delta_dir)
+        new_files = {
+            b: sorted(after.get(b, set()) - before.get(b, set())) for b in bset
+        }
+        self._check_no_null_buckets(
+            {b: after.get(b, set()) - before.get(b, set()) for b in after}
+        )
+        wall = time.time() - t0
+        bucket_type = df.schema[bucket_col].dataType.simpleString()
+        data_before = self._bucket_files(bucket_col)
+        compacted: dict[str, list[str]] = {}
+        compact_rows: dict[str, int] = {}
+        orig_entries = self._bucket_entries(parent, bset)
+
+        def build(p: dict | None) -> dict:
+            if self._bucket_entries(p, bset) != orig_entries:
+                raise SnapshotConflictError(
+                    "touched buckets changed under a concurrent snapshot"
+                )
+            done_b = dict(p["buckets"]) if p else {}
+            done_f = self._parent_files(p, self._bucket_files(bucket_col))
+            done_d = {b: [list(e) for e in v] for b, v in (dict(p.get("deltas", {})) if p else {}).items()}
+            seq = (p["version"] + 1) if p else 1
+            for b in bset:
+                if new_files[b]:
+                    done_d.setdefault(b, []).append([seq, new_files[b]])
+            manifest = {
+                "version": seq,
+                "snapshot_id": uuid.uuid4().hex,
+                "parent_id": p["snapshot_id"] if p else None,
+                "bucket_col": bucket_col,
+                "bucket_type": bucket_type,
+                "buckets": done_b,
+                "files": done_f,
+                "deltas": done_d,
+                "delta_key": list(key_cols),
+                "delta_op": op_col,
+                "metrics": {
+                    "wall_sec": round(wall, 3),
+                    "rows_written": int(
+                        sum(
+                            self._footer_rows(
+                                os.path.join(self.delta_dir, f"{bucket_col}={b}"), set(fs)
+                            )
+                            for b, fs in new_files.items()
+                            if fs
+                        )
+                    ),
+                    "buckets_written": len([b for b in bset if new_files[b]]),
+                    "delta_batches": {b: len(v) for b, v in done_d.items()},
+                },
+            }
+            to_compact = [b for b in bset if len(done_d.get(b, [])) >= compact_threshold]
+            if to_compact:
+                self._compact_into(spark, manifest, to_compact, data_before, compacted, compact_rows)
+            return manifest
+
+        manifest = self._publish_retry(parent, build)
+        return {
+            "done": True,
+            "written_buckets": len([b for b in bset if new_files[b]]),
+            "compacted_buckets": sorted(compact_rows) if compact_rows else [],
+            "snapshot": manifest,
+        }
+
+    def _compact_into(
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        buckets: list[str],
+        data_before: dict[str, set[str]],
+        compacted: dict[str, list[str]],
+        compact_rows: dict[str, int],
+    ) -> None:
+        """Rewrite the merged (base ⊕ deltas) state of ``buckets`` as fresh
+        base files and clear their deltas — mutates ``manifest`` in place
+        before publish. The physical write runs once; a CAS retry reuses the
+        already-written files (``compacted`` caches them)."""
+        bucket_col = manifest["bucket_col"]
+        if not compacted:
+            merged = self._merged_state(spark, manifest, restrict=buckets)
+            self._write_append(merged, bucket_col)
+            data_after = self._bucket_files(bucket_col)
+            for b in buckets:
+                compacted[b] = sorted(data_after.get(b, set()) - data_before.get(b, set()))
+                if compacted[b]:
+                    compact_rows[b] = self._footer_rows(
+                        os.path.join(self.data_dir, f"{bucket_col}={b}"), set(compacted[b])
+                    )
+        for b in buckets:
+            manifest["deltas"].pop(b, None)
+            if compacted.get(b):
+                manifest["files"][b] = compacted[b]
+                manifest["buckets"][b] = compact_rows[b]
+            else:  # all rows deleted
+                manifest["files"].pop(b, None)
+                manifest["buckets"].pop(b, None)
+
+    def _merged_state(
+        self, spark: SparkSession, m: dict, restrict: list[str] | None = None
+    ) -> DataFrame:
+        """Base rows of the delta'd buckets with every pending delta batch
+        applied in sequence order: per batch, insert-if-missing on the delta
+        key, then equality-delete. Batches are micro-batch-sized, so AQE
+        broadcasts them against the bucket state; the fold depth is bounded
+        by compact_threshold."""
+        bucket_col = m["bucket_col"]
+        keys = m["delta_key"]
+        op = m.get("delta_op", "_op")
+        deltas = {
+            b: v for b, v in (m.get("deltas") or {}).items()
+            if v and (restrict is None or b in restrict)
+        }
+        base_paths = [
+            os.path.join(self.data_dir, f"{bucket_col}={b}", f)
+            for b in deltas
+            for f in (m.get("files") or {}).get(b, [])
+        ]
+        batches: list[tuple[int, list[str]]] = []
+        for b, v in deltas.items():
+            for seq, files in v:
+                batches.append(
+                    (seq, [os.path.join(self.delta_dir, f"{bucket_col}={b}", f) for f in files])
+                )
+        # group same-seq files across buckets into one read
+        by_seq: dict[int, list[str]] = {}
+        for seq, paths in batches:
+            by_seq.setdefault(seq, []).extend(paths)
+
+        def _read(root: str, paths: list[str]) -> DataFrame:
+            df = spark.read.option("basePath", root).parquet(*paths)
+            return df.withColumn(bucket_col, F.col(bucket_col).cast(m["bucket_type"]))
+
+        first_delta = _read(self.delta_dir, by_seq[min(by_seq)])
+        state_cols = [c for c in first_delta.columns if c != op]
+        if base_paths:
+            state = _read(self.data_dir, base_paths).select(state_cols)
+        else:
+            state = first_delta.select(state_cols).limit(0)
+        for seq in sorted(by_seq):
+            batch = _read(self.delta_dir, by_seq[seq])
+            ins = batch.where(F.col(op) == "i").select(state_cols)
+            dels = batch.where(F.col(op) == "d").select(keys)
+            # insert-if-missing (the reference's failed-membership-check rule,
+            # operators/mutations.insert_points), then equality-delete
+            state = state.unionByName(ins.join(state.select(keys), on=keys, how="left_anti"))
+            state = state.join(dels, on=keys, how="left_anti")
+        return state
+
     def vacuum(self) -> int:
-        """Delete data files not referenced by the CURRENT manifest (expired
-        snapshots' files and crash residue). Returns #files removed. The
-        Iceberg analogue is expire_snapshots + remove_orphan_files."""
+        """Delete data/delta files not referenced by the CURRENT manifest
+        (expired snapshots' files and crash residue). Returns #files removed.
+        The Iceberg analogue is expire_snapshots + remove_orphan_files.
+        REFUSES to run on a legacy manifest without file-level lists — there
+        the reference set is unknowable and everything would look orphaned."""
         m = self.current()
         if m is None:
             return 0
+        if "files" not in m:
+            raise RuntimeError(
+                "vacuum refused: current manifest has no file-level lists "
+                "(legacy format) — publish one commit/overwrite first (it "
+                "backfills the file lists), then vacuum"
+            )
         bucket_col = m["bucket_col"]
-        live = {
-            (b, f) for b, fs in m.get("files", {}).items() for f in fs
+        live = {(b, f) for b, fs in m["files"].items() for f in fs}
+        live_delta = {
+            (b, f)
+            for b, v in (m.get("deltas") or {}).items()
+            for _, fs in v
+            for f in fs
         }
         removed = 0
         for b, files in self._bucket_files(bucket_col).items():
@@ -278,9 +633,14 @@ class SnapshotTable:
                 if (b, f) not in live:
                     os.remove(os.path.join(self.data_dir, f"{bucket_col}={b}", f))
                     removed += 1
+        for b, files in self._bucket_files(bucket_col, self.delta_dir).items():
+            for f in files:
+                if (b, f) not in live_delta:
+                    os.remove(os.path.join(self.delta_dir, f"{bucket_col}={b}", f))
+                    removed += 1
         return removed
 
-    def _write_append(self, batch: DataFrame, bucket_col: str) -> None:
+    def _write_append(self, batch: DataFrame, bucket_col: str, target: str | None = None) -> None:
         """Append-only partitioned parquet write, shuffled on
         (bucket, source-partition-id): salting the clustering key with the
         map-side partition id splits every bucket across the reduce tasks in
@@ -296,32 +656,40 @@ class SnapshotTable:
         driver-side staging renames."""
         batch.repartition(
             F.col(bucket_col), F.spark_partition_id()
-        ).write.partitionBy(bucket_col).mode("append").parquet(self.data_dir)
+        ).write.partitionBy(bucket_col).mode("append").parquet(target or self.data_dir)
 
     # -- read path -----------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Committed data only: load EXACTLY the current manifest's file set
         (crash residue and expired snapshots' files in the data dir are never
-        visible — file-level manifests, the Iceberg read model)."""
+        visible — file-level manifests, the Iceberg read model), with pending
+        merge-on-read delta batches applied (see ``append_deltas``)."""
         m = self.current()
         if m is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         bucket_col = m["bucket_col"]
+        deltas = {b for b, v in (m.get("deltas") or {}).items() if v}
         paths = [
             os.path.join(self.data_dir, f"{bucket_col}={b}", f)
             for b, fs in m.get("files", {}).items()
             for f in fs
+            if b not in deltas
         ]
         if paths:
             df = spark.read.option("basePath", self.data_dir).parquet(*paths)
-        else:
+        elif not deltas:
             # legacy manifest without file lists: bucket-level pruning
             df = spark.read.parquet(self.data_dir).where(
                 F.col(bucket_col).cast("string").isin(sorted(m["buckets"]))
             )
-        if "bucket_type" in m:
+        else:
+            df = None
+        if df is not None and "bucket_type" in m:
             # partition-dir values read back as inferred types; restore the
             # committed column type so read schema == written schema
             df = df.withColumn(bucket_col, F.col(bucket_col).cast(m["bucket_type"]))
+        if deltas:
+            merged = self._merged_state(spark, m)
+            df = merged if df is None else df.select(merged.columns).unionByName(merged)
         return df

@@ -9,18 +9,22 @@ I/O per batch is O(touched buckets), never O(table).
 
 Layout: the maintained point set lives in a ``SnapshotTable`` partitioned by
 the depth-``bucket_depth`` quadkey cell of each point. A mutation's bucket is
-a pure function of (x, y), so the membership checks that insert-if-missing /
-delete need are complete WITHIN the touched buckets: the batch reads back
-only those partitions (partition-pruned scan), applies the set operators,
-and appends the survivors as fresh files, repointing the manifest's file set
-for exactly those buckets. Untouched bucket files are never read, rewritten,
-or even re-listed by readers (file-level manifests).
+a pure function of (x, y), so insert-if-missing / delete-by-value are
+complete WITHIN the touched buckets. The write path is MERGE-ON-READ: each
+micro-batch appends ONE delta batch (insert rows + delete keys) for exactly
+the touched buckets — per-batch bytes written ∝ BATCH size, never bucket
+size (a batch touching one hot million-row bucket writes a few KB, not the
+bucket). Readers fold pending delta batches over the base files in sequence
+order; when a bucket accumulates ``compact_threshold`` batches the table
+compacts it (rewrites the merged state as fresh base files) in the same
+publish, bounding read amplification. Untouched buckets' files are never
+read, rewritten, or even re-listed by readers (file-level manifests).
 
 Exactly-once: the checkpointed source gives at-least-once batch delivery;
 re-applying a batch is idempotent (insert-if-missing + delete-by-value), and
-the manifest publish is atomic, so a crash anywhere replays to the same
-state. Watermarks/session windows have no reference counterpart and are out
-of scope here (SURVEY §2.9) — see streaming/windows.py.
+the manifest publish is an atomic CAS, so a crash anywhere replays to the
+same state. Watermarks/session windows have no reference counterpart and are
+out of scope here (SURVEY §2.9) — see streaming/windows.py.
 """
 
 from __future__ import annotations
@@ -30,7 +34,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.cells import cell_id_col
-from ..operators import mutations as M
 from ..operators import quadtree as QT
 from ..sources.snapshots import SnapshotTable
 
@@ -49,6 +52,7 @@ class PointTableStream:
         state_dir: str,
         max_depth: int = 18,
         bucket_depth: int = 3,
+        compact_threshold: int = 4,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -57,6 +61,7 @@ class PointTableStream:
         self.checkpoint = os.path.join(state_dir, "_checkpoint")
         self.max_depth = max_depth
         self.bucket_depth = bucket_depth
+        self.compact_threshold = compact_threshold
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -71,6 +76,13 @@ class PointTableStream:
             return self.spark.createDataFrame([], POINTS_SCHEMA)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Merge-on-read: the batch itself IS the write — insert rows and
+        delete keys land as one delta batch for the touched buckets (bytes
+        ∝ batch size). The insert-if-missing / delete-by-value semantics of
+        operators/mutations.{insert,delete}_points are applied at read time
+        by SnapshotTable's sequence-ordered fold (and baked in at
+        compaction), so the visible state matches the eager copy-on-write
+        path row-for-row."""
         batch = self._with_bucket(batch).persist()
         try:
             touched = sorted(
@@ -78,18 +90,15 @@ class PointTableStream:
             )
             if not touched:
                 return
-            # partition-pruned read: only the buckets this batch mutates
-            try:
-                cur = self.table.read(self.spark).where(
-                    F.col(BUCKET_COL).isin(touched)
-                ).select("pid", "x", "y")
-            except FileNotFoundError:
-                cur = self.spark.createDataFrame([], POINTS_SCHEMA)
-            inserts = batch.where(F.col("qtype") == "i").select("pid", "x", "y")
-            deletes = batch.where(F.col("qtype") == "d").select("x", "y")
-            updated = M.delete_points(M.insert_points(cur, inserts), deletes)
-            self.table.overwrite_buckets(
-                self._with_bucket(updated), BUCKET_COL, [str(b) for b in touched]
+            delta = batch.select(
+                "pid", "x", "y", BUCKET_COL, F.col("qtype").alias("_op")
+            )
+            self.table.append_deltas(
+                delta,
+                BUCKET_COL,
+                [str(b) for b in touched],
+                key_cols=["x", "y"],
+                compact_threshold=self.compact_threshold,
             )
         finally:
             batch.unpersist()

@@ -128,6 +128,152 @@ def test_snapshot_manifest_files_are_json_and_atomic(spark, bucketed_df, tmp_pat
     assert not glob.glob(f"{snap.manifest_dir}/.tmp-*")  # temp files all renamed
 
 
+def test_snapshot_concurrent_commit_merged_not_dropped(spark, bucketed_df, tmp_path):
+    """CAS publish (VERDICT r2 item 5): a snapshot committed by a second
+    writer BETWEEN this writer's data write and its manifest publish must
+    survive. Round 2's last-writer-wins CURRENT overwrite silently dropped
+    it; now the loser of the version race rebuilds its manifest against the
+    winner's snapshot (disjoint buckets → clean merge)."""
+    from geospatial_cuda_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "t")
+    snap1, snap2 = SnapshotTable(path), SnapshotTable(path)
+    low = bucketed_df.where(F.col("bucket") < "4")
+    high = bucketed_df.where(F.col("bucket") >= "4")
+
+    orig_write = snap1._write_append
+    fired = []
+
+    def hooked(batch, bucket_col, target=None):
+        orig_write(batch, bucket_col, target)
+        if not fired:
+            fired.append(1)
+            snap2.commit(high, "bucket")  # lands before snap1's publish
+
+    snap1._write_append = hooked
+    snap1.commit(low, "bucket")
+    m = snap1.current()
+    assert set(m["buckets"]) == {str(i) for i in range(7)}  # nothing dropped
+    assert m["version"] == 2  # both snapshots in the chain
+    assert _rows(snap1.read(spark).select("pid", "bucket", "val")) == _rows(bucketed_df)
+
+
+def test_snapshot_concurrent_same_bucket_conflicts(spark, bucketed_df, tmp_path):
+    """Two writers committing the SAME bucket concurrently: the loser must
+    raise SnapshotConflictError (its data stays unreferenced), never publish
+    a manifest that mixes or clobbers the winner's bucket."""
+    from geospatial_cuda_spark.sources.snapshots import (
+        SnapshotConflictError,
+        SnapshotTable,
+    )
+
+    path = str(tmp_path / "t")
+    snap1, snap2 = SnapshotTable(path), SnapshotTable(path)
+    b2 = bucketed_df.where(F.col("bucket") == "2")
+
+    orig_write = snap1._write_append
+    fired = []
+
+    def hooked(batch, bucket_col, target=None):
+        orig_write(batch, bucket_col, target)
+        if not fired:
+            fired.append(1)
+            snap2.commit(b2, "bucket")
+
+    snap1._write_append = hooked
+    with pytest.raises(SnapshotConflictError):
+        snap1.commit(b2, "bucket")
+    # winner's snapshot intact and readable
+    m = snap1.current()
+    assert m["version"] == 1 and set(m["buckets"]) == {"2"}
+    assert _rows(snap1.read(spark).select("pid", "bucket", "val")) == _rows(b2)
+
+
+def test_snapshot_concurrent_upsert_same_bucket_conflicts(spark, bucketed_df, tmp_path):
+    """overwrite_buckets computed from a stale read of a bucket that a
+    concurrent snapshot then changed must abort, not publish."""
+    from geospatial_cuda_spark.sources.snapshots import (
+        SnapshotConflictError,
+        SnapshotTable,
+    )
+
+    path = str(tmp_path / "t")
+    snap1, snap2 = SnapshotTable(path), SnapshotTable(path)
+    snap1.commit(bucketed_df, "bucket")
+    survivors = bucketed_df.where((F.col("bucket") == "3") & (F.col("pid") % 2 == 0))
+    other = bucketed_df.where((F.col("bucket") == "3") & (F.col("pid") % 3 == 0))
+
+    orig_write = snap1._write_append
+    fired = []
+
+    def hooked(batch, bucket_col, target=None):
+        orig_write(batch, bucket_col, target)
+        if not fired:
+            fired.append(1)
+            snap2.overwrite_buckets(other, "bucket", ["3"])
+
+    snap1._write_append = hooked
+    with pytest.raises(SnapshotConflictError):
+        snap1.overwrite_buckets(survivors, "bucket", ["3"])
+    got = snap1.read(spark).where(F.col("bucket") == "3").select("pid", "bucket", "val")
+    assert _rows(got) == _rows(other)  # winner's upsert intact
+
+
+def test_snapshot_legacy_manifest_backfilled_not_hidden(spark, bucketed_df, tmp_path):
+    """ADVICE r2 (medium): committing on top of a LEGACY manifest (no 'files'
+    key) must backfill the old buckets' file lists from disk — otherwise
+    read() takes the file-list path and silently hides every previously
+    committed bucket, and vacuum would delete their data. vacuum refuses to
+    run while the current manifest is still legacy."""
+    import json as _json
+
+    from geospatial_cuda_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(str(tmp_path / "t"))
+    low = bucketed_df.where(F.col("bucket") < "4")
+    snap.commit(low, "bucket")
+    # rewrite the manifest as the legacy format (pre file-level manifests)
+    m = snap.current()
+    for k in ("files", "deltas", "delta_key", "delta_op"):
+        m.pop(k, None)
+    with open(os.path.join(snap.manifest_dir, f"v{m['version']}.json"), "w") as f:
+        _json.dump(m, f)
+    assert "files" not in snap.current()
+    with pytest.raises(RuntimeError, match="vacuum refused"):
+        snap.vacuum()
+    # commit the remaining buckets on top of the legacy manifest
+    snap.commit(bucketed_df, "bucket")
+    m2 = snap.current()
+    assert set(m2["files"]) == {str(i) for i in range(7)}  # backfilled
+    assert _rows(snap.read(spark).select("pid", "bucket", "val")) == _rows(bucketed_df)
+    assert snap.vacuum() == 0  # every on-disk file is referenced again
+
+
+def test_snapshot_null_bucket_fails_fast(spark, tmp_path):
+    """ADVICE r2: rows with a NULL bucket were silently dropped by the
+    three-valued-logic pending filter. Now the commit aborts before publish
+    and the table state is unchanged."""
+    from geospatial_cuda_spark.sources.snapshots import SnapshotTable
+
+    df = spark.range(0, 20).select(
+        F.col("id").alias("pid"),
+        F.when(F.col("id") % 5 != 0, (F.col("id") % 3).cast("string")).alias("bucket"),
+        F.col("id").alias("val"),
+    )
+    snap = SnapshotTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="NULL bucket"):
+        snap.commit(df, "bucket")
+    assert snap.current() is None  # nothing published
+    with pytest.raises(ValueError, match="NULL bucket"):
+        snap.commit(df, "bucket", max_buckets_per_commit=2)
+    assert snap.current() is None
+    # clean input commits fine afterwards (residue invisible, then vacuumable)
+    clean = df.where(F.col("bucket").isNotNull())
+    snap.commit(clean, "bucket")
+    assert _rows(snap.read(spark).select("pid", "bucket", "val")) == _rows(clean)
+    assert snap.vacuum() >= 1  # the aborted attempt's files are collected
+
+
 # ---------------------------------------------------------------------------
 # streaming upserts (M1/M2 as a checkpointed micro-batch stream)
 # ---------------------------------------------------------------------------
@@ -191,6 +337,8 @@ def test_streaming_upserts_apply_and_resume(spark, tmp_path):
 def _bucket_state(data_dir: str) -> dict[str, dict[str, float]]:
     """{partition dir: {file: mtime}} for every bucket partition on disk."""
     out = {}
+    if not os.path.isdir(data_dir):
+        return out
     for d in os.listdir(data_dir):
         p = os.path.join(data_dir, d)
         if d.startswith("_bucket=") and os.path.isdir(p):
@@ -198,15 +346,23 @@ def _bucket_state(data_dir: str) -> dict[str, dict[str, float]]:
     return out
 
 
+def _dir_bytes(root: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(root):
+        total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
+
+
 def test_streaming_upserts_touch_only_mutated_buckets(spark, tmp_path):
-    """Scale invariant: a micro-batch's I/O is O(touched buckets). Points in
-    a far-away quadkey bucket must keep byte-identical files (same names,
-    same mtimes) across a batch that doesn't mutate their bucket."""
+    """Scale invariant (merge-on-read): a micro-batch appends ONLY delta
+    files for its touched buckets — no base file is ever rewritten, and the
+    far bucket's delta files keep byte-identical names+mtimes across a batch
+    that doesn't mutate it."""
     from geospatial_cuda_spark.streaming.upserts import PointTableStream
 
     src = str(tmp_path / "src")
     state = str(tmp_path / "state")
-    stream = PointTableStream(spark, state, max_depth=6)
+    stream = PointTableStream(spark, state, max_depth=6, compact_threshold=10)
 
     # batch 0: two distant regions → two distinct depth-3 buckets
     _write_batch(
@@ -218,8 +374,9 @@ def test_streaming_upserts_touch_only_mutated_buckets(spark, tmp_path):
         ],
     )
     stream.start(src).awaitTermination()
-    before = _bucket_state(stream.table.data_dir)
-    assert len(before) == 2
+    delta_before = _bucket_state(stream.table.delta_dir)
+    base_before = _bucket_state(stream.table.data_dir)
+    assert len(delta_before) == 2
     v1 = stream.table.current()["version"]
 
     # batch 1: mutate ONLY the low-corner region
@@ -232,12 +389,76 @@ def test_streaming_upserts_touch_only_mutated_buckets(spark, tmp_path):
         ],
     )
     stream.start(src).awaitTermination()
-    after = _bucket_state(stream.table.data_dir)
-
-    touched = [d for d in before if before[d] != after.get(d)]
-    untouched = [d for d in before if before[d] == after.get(d)]
+    delta_after = _bucket_state(stream.table.delta_dir)
+    # base files untouched entirely (merge-on-read writes only deltas)
+    assert _bucket_state(stream.table.data_dir) == base_before
+    touched = [d for d in delta_before if delta_before[d] != delta_after.get(d)]
+    untouched = [d for d in delta_before if delta_before[d] == delta_after.get(d)]
     assert len(touched) == 1 and len(untouched) == 1  # far bucket untouched
     assert stream.table.current()["version"] == v1 + 1
     assert _rows(stream.read_points().select("pid")) == [(2,), (3,)]
-    # lineage counts reflect the per-bucket reality
-    assert sorted(stream.table.current()["buckets"].values()) == [1, 1]
+
+
+def test_streaming_mor_bytes_proportional_and_compaction(spark, tmp_path):
+    """VERDICT r2 item 6: per-batch bytes written ∝ batch size, not bucket
+    size — a 2-mutation batch against a 10k-row bucket writes a small delta,
+    not a bucket rewrite. When the threshold is reached the bucket compacts
+    (merged state becomes fresh base files, deltas cleared) and the visible
+    state is preserved; vacuum then collects the superseded delta files."""
+    from geospatial_cuda_spark.streaming.upserts import PointTableStream
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    stream = PointTableStream(spark, state, max_depth=6, compact_threshold=3)
+
+    n = 10_000
+    # all inserts inside one depth-3 bucket (x, y < 100k < 125k cell extent)
+    _write_batch(
+        src,
+        "b0.json",
+        [
+            {"qtype": "i", "pid": i, "x": float((i % 100) * 10 + 1), "y": float((i // 100) * 9 + 1)}
+            for i in range(n)
+        ],
+    )
+    stream.start(src).awaitTermination()
+    bytes0 = _dir_bytes(stream.table.path)
+    assert stream.read_points().count() == n
+
+    # batch 1: two mutations → bytes written must be a small fraction of the
+    # bucket's size (the copy-on-write path would rewrite all 10k rows)
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"qtype": "d", "pid": 0, "x": 1.0, "y": 1.0},
+            {"qtype": "i", "pid": n + 1, "x": 55.5, "y": 66.5},
+        ],
+    )
+    stream.start(src).awaitTermination()
+    batch1_bytes = _dir_bytes(stream.table.path) - bytes0
+    assert batch1_bytes * 10 < bytes0, (batch1_bytes, bytes0)
+    assert stream.read_points().count() == n  # -1 deleted, +1 inserted
+    assert len(stream.table.current()["deltas"]) == 1
+
+    # batch 2: hits compact_threshold=3 → the bucket compacts in-publish
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            {"qtype": "d", "pid": 0, "x": 11.0, "y": 1.0},
+            {"qtype": "i", "pid": n + 2, "x": 77.5, "y": 88.5},
+        ],
+    )
+    stream.start(src).awaitTermination()
+    m = stream.table.current()
+    assert not any(m["deltas"].values())  # deltas cleared by compaction
+    assert m["buckets"] and sum(m["buckets"].values()) == n
+    pts = stream.read_points()
+    assert pts.count() == n
+    got = {r["pid"] for r in pts.where(F.col("pid") > n - 1).collect()}
+    assert got == {n + 1, n + 2}
+    assert pts.where((F.col("x") == 1.0) & (F.col("y") == 1.0)).count() == 0
+    # superseded delta files are unreferenced → vacuum collects, state intact
+    assert stream.table.vacuum() >= 3
+    assert stream.read_points().count() == n

@@ -73,6 +73,8 @@ def _queries(spark: SparkSession, sf_dir: str, limit: int = 200) -> DataFrame:
 
 
 _CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CELLS_CACHE_MAX = 4  # datasets per app; LRU-evicted (ADVICE r2: unbounded
+# growth across datasets was a slow cache leak in long-lived sessions)
 
 
 def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,12 +84,17 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds its index once (or loads it from the committed snapshot) and
     serves every lookup from it; rebuilding per query would bill index
     construction into every search. The cache also bounds the internal
-    counts persist to one per dataset."""
+    counts persist to one per dataset, and LRU-evicts (unpersisting) beyond
+    ``_CELLS_CACHE_MAX`` datasets so a session iterating many datasets does
+    not accumulate executor storage forever."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _CELLS_CACHE.get(key)
+    df = _CELLS_CACHE.pop(key, None)  # pop+reinsert = move to MRU position
     if df is None:
         df = QT.build_cells(_points(spark, sf_dir), max_depth=CELL_DEPTH).persist()
-        _CELLS_CACHE[key] = df
+    _CELLS_CACHE[key] = df
+    while len(_CELLS_CACHE) > _CELLS_CACHE_MAX:
+        oldest = next(iter(_CELLS_CACHE))  # insertion order = LRU order
+        _CELLS_CACHE.pop(oldest).unpersist()
     return df
 
 

@@ -12,10 +12,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..functions.text import fingerprint_col, shingles_expr
-from ..functions.vectors import cosine_col, dot_col_fixed, norm_col_fixed
+from ..functions.vectors import cosine_col
 from ..util import splitmix64
 
 LSH_SEED = 0x5EEDED
@@ -207,28 +207,11 @@ def rademacher_planes(n_planes: int, dim: int, seed: int = LSH_SEED) -> np.ndarr
     return signs.reshape(n_planes, dim)
 
 
-def _plane_projection_col(emb, signs_row: np.ndarray):
-    """±1-plane projection as an UNROLLED left-associated signed sum of
-    element_at terms — identical fp order to the SQL twin's ``± CAST(e[i])``
-    chain (x·(−1) ≡ −x and acc+(−x) ≡ acc−x are exact), so the sign bit
-    matches bit-for-bit across engines. Unrolled instead of a higher-order
-    aggregate because ArrayAggregate is CodegenFallback (interpreted per
-    element); plain arithmetic stays inside whole-stage codegen. Callers
-    projecting many planes should pre-extract the elements once (see
-    embedding_lsh_buckets) and pass the columns via ``els``."""
-    return _signed_sum([F.element_at(emb, d + 1).cast("double") for d in range(len(signs_row))], signs_row)
-
-
-def _signed_sum(els, signs_row: np.ndarray):
-    out = None
-    for c, sgn in zip(els, signs_row):
-        term = c if sgn > 0 else -c
-        out = term if out is None else out + term
-    return out
-
-
 def plane_projection_sql(emb_sql: str, signs_row: np.ndarray) -> str:
-    """DuckDB twin of _plane_projection_col (same left-assoc double sum)."""
+    """DuckDB twin of embedding_lsh_buckets' Arrow projection kernel: the
+    same left-associated double summation ``± CAST(e[d] AS DOUBLE)`` per
+    plane (x·(−1) ≡ −x and acc+(−x) ≡ acc−x are exact), so the sign bits —
+    and therefore the band keys — match bit-for-bit across engines."""
     terms = []
     for d, s in enumerate(signs_row):
         op = "+" if s > 0 else "-"
@@ -302,10 +285,7 @@ def embedding_near_dups_lsh(
     # cross-band dedup shuffle skinny (a, b) rows — the 64-float arrays never
     # ride through the candidate explosion. Vectors are fetched per UNIQUE
     # pair by two equi-joins back to the corpus (AQE broadcasts the small
-    # side at test scale; shuffle-hash at corpus scale), then scored ONCE
-    # with the fixed-dim unrolled cosine (plain codegen arithmetic — the HOF
-    # aggregate form is interpreted per element, ~10x slower; summation
-    # order identical, so hash-parity with the DuckDB oracle is preserved).
+    # side at test scale; shuffle-hash at corpus scale).
     ids = bk.select(vec_id, "band", "key")
     cand = (
         ids.select(F.col(vec_id).alias("a"), "band", "key")
@@ -314,25 +294,34 @@ def embedding_near_dups_lsh(
         .select("a", "b")
         .distinct()
     )
-    # per-side norms precomputed in their own projections: the join stage
-    # then codegens a single 64-term dot — inlining all three dot products
-    # there trips the 64 KB method limit and de-optimizes the whole stage.
-    va = embeddings.select(
-        F.col(vec_id).alias("a"), F.col(emb).alias("_va"),
-        norm_col_fixed(F.col(emb), dim).alias("_na"),
-    )
-    vb = embeddings.select(
-        F.col(vec_id).alias("b"), F.col(emb).alias("_vb"),
-        norm_col_fixed(F.col(emb), dim).alias("_nb"),
-    )
-    sim = F.round(
-        dot_col_fixed(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb")),
-        6,
-    )
+    va = embeddings.select(F.col(vec_id).alias("a"), F.col(emb).alias("_va"))
+    vb = embeddings.select(F.col(vec_id).alias("b"), F.col(emb).alias("_vb"))
+
+    # Scoring is ONE Arrow kernel over the joined pair arrays, accumulating
+    # dot and norms per element index in order — the identical left-assoc
+    # double summation as the SQL oracle's list_dot_product rendering, so
+    # hash-parity holds. The unrolled Column form (dot_col_fixed) evaluates
+    # just as fast once compiled, but its ~3·dim-term expression tree costs
+    # ~1.5 s of Janino compile on EVERY fresh plan — a fixed tax one-shot
+    # queries (and the bench) pay in full; the kernel's plan compiles in ms
+    # and the Arrow transfer is bounded at 2·dim floats per candidate pair.
+    @F.pandas_udf(DoubleType())
+    def _pair_sim(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        a = np.stack(xa.to_numpy()).astype(np.float64)
+        b = np.stack(xb.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(a))
+        na = np.zeros(len(a))
+        nb = np.zeros(len(a))
+        for d in range(a.shape[1]):
+            dot += a[:, d] * b[:, d]
+            na += a[:, d] * a[:, d]
+            nb += b[:, d] * b[:, d]
+        return pd.Series(np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6))
+
     return (
         cand.join(va, on="a")
         .join(vb, on="b")
-        .withColumn("sim", sim)
+        .withColumn("sim", _pair_sim(F.col("_va"), F.col("_vb")))
         .where(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )

@@ -35,11 +35,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Arrow transfer for the pandas-UDF kernel layer. Image rows carry
-        # ~KB binary payloads, so cap records per Arrow batch to bound batch
-        # memory (SURVEY §7 hard part 4).
+        # Arrow transfer for the pandas-UDF kernel layer. Batch size is a
+        # BYTE budget expressed in rows: image rows here carry ~1-2 KB
+        # payloads, so 16384 rows ≈ 20-30 MB per in-flight batch per worker —
+        # large enough that the per-batch Python sync cost is amortized
+        # (measured: at 32 oversubscribed workers, 4096-row batches more
+        # than DOUBLED the tile-slice stage wall vs 16384 — each batch
+        # boundary is a JVM↔Python roundtrip that context-switches the
+        # worker), small enough to bound executor memory. Tables with ~MB
+        # payloads should scale this down via SPARK_GRAFT_ARROW_BATCH.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "16384"),
+        )
         # Keep timestamps deterministic.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

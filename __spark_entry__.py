@@ -3,11 +3,13 @@
 Thin wrapper over geospatial_cuda_spark.entrypoints: ``entry`` runs the
 flagship spatial-join + tile pipeline on sf0.001; ``queries`` exposes one
 callable per implemented operator from SURVEY.md §2 (plus the training-data
-pipeline ops); ``oracle_sql`` returns the DuckDB-dialect equivalent for every
-SQL-expressible operator. Non-SQL-expressible entries (cell-pruned kNN, IVF
-ANN — approximate/physical-path variants) intentionally have no oracle and
-get the driver's rows-only check; their exactness/recall is asserted against
-in-repo baselines by pytest instead.
+pipeline ops); ``oracle_sql`` returns the DuckDB-dialect equivalent for
+EVERY query — since round 3 no entry is rows-only: deterministic
+approximations (IVF ANN, LSH near-dup) are re-derived exactly in SQL
+(seeded planes / md5-sampled centroids + rounded-cosine ranking), and
+kernel outputs (image/audio features, tile/video geometry) are re-derived
+as pure splitmix64 integer arithmetic. Recall/exactness of the approximate
+paths is additionally pytest-gated against in-repo brute-force baselines.
 """
 
 from __future__ import annotations

@@ -274,6 +274,71 @@ def test_snapshot_null_bucket_fails_fast(spark, tmp_path):
     assert snap.vacuum() >= 1  # the aborted attempt's files are collected
 
 
+def test_snapshot_current_rolls_forward_past_crashed_publisher(spark, bucketed_df, tmp_path):
+    """A publisher that crashed between linking v{N}.json and repointing
+    CURRENT leaves a complete manifest on disk. Readers must adopt the chain
+    tip (v{N}), and the next publisher must build v{N+1} on top of it rather
+    than racing the orphaned version number forever."""
+    import json as _json
+
+    from geospatial_cuda_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(str(tmp_path / "t"))
+    low = bucketed_df.where(F.col("bucket") < "4")
+    snap.commit(low, "bucket")
+    # simulate the crash: v2 exists, CURRENT still names v1
+    m = snap.current()
+    m2 = dict(m, version=2, snapshot_id="deadbeef", parent_id=m["snapshot_id"])
+    with open(os.path.join(snap.manifest_dir, "v2.json"), "w") as f:
+        _json.dump(m2, f)
+    assert snap.current()["version"] == 2  # roll-forward
+    res = snap.commit(bucketed_df, "bucket")
+    assert res["snapshot"]["version"] == 3
+    assert res["snapshot"]["parent_id"] == "deadbeef"
+    with open(snap._current_path()) as f:
+        assert f.read().strip() == "v3.json"
+
+
+def test_append_deltas_fold_order_delete_then_reinsert(spark, tmp_path):
+    """Sequence-ordered fold: a key deleted in batch 2 and re-inserted in
+    batch 3 must be PRESENT (with the new row), and a key re-inserted while
+    it still exists must keep the ORIGINAL row (insert-if-missing). This
+    pins the per-seq ordering of the merge-on-read read path."""
+    from geospatial_cuda_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(str(tmp_path / "t"))
+
+    def delta(rows):
+        return spark.createDataFrame(rows, "pid long, k long, bucket string, _op string")
+
+    # batch 1: base inserts
+    snap.append_deltas(
+        delta([(1, 100, "b0", "i"), (2, 200, "b0", "i")]),
+        "bucket", ["b0"], key_cols=["k"], compact_threshold=10,
+    )
+    # batch 2: delete k=100; attempt duplicate insert of k=200 (must not land)
+    snap.append_deltas(
+        delta([(0, 100, "b0", "d"), (9, 200, "b0", "i")]),
+        "bucket", ["b0"], key_cols=["k"], compact_threshold=10,
+    )
+    # batch 3: re-insert k=100 with a new pid
+    snap.append_deltas(
+        delta([(7, 100, "b0", "i")]),
+        "bucket", ["b0"], key_cols=["k"], compact_threshold=10,
+    )
+    got = sorted(tuple(r) for r in snap.read(spark).select("pid", "k").collect())
+    assert got == [(2, 200), (7, 100)]
+    # compaction must bake in the same state
+    snap.append_deltas(
+        delta([(8, 300, "b0", "i")]),
+        "bucket", ["b0"], key_cols=["k"], compact_threshold=4,
+    )
+    m = snap.current()
+    assert not any(m["deltas"].values())
+    got = sorted(tuple(r) for r in snap.read(spark).select("pid", "k").collect())
+    assert got == [(2, 200), (7, 100), (8, 300)]
+
+
 # ---------------------------------------------------------------------------
 # streaming upserts (M1/M2 as a checkpointed micro-batch stream)
 # ---------------------------------------------------------------------------

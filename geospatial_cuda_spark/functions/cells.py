@@ -17,8 +17,10 @@ data-driven. This module provides:
   run identically on Spark and DuckDB for the oracle cross-checks.
 
 Ids are unique ACROSS depths: depth-d ids live in
-``[(4^d+2)/3, (4^(d+1)-4)/3]`` (disjoint ranges), so ``cell_id`` alone keys a
-node; ``parent = (id-1) div 4``.
+``[(4^d-1)/3, (4^(d+1)-4)/3]`` (all-1s digits .. all-4s digits — disjoint
+ranges, each depth's min is the previous max + 1; property-tested in
+tests/test_properties.py), so ``cell_id`` alone keys a node;
+``parent = (id-1) div 4``.
 """
 
 from __future__ import annotations

@@ -909,6 +909,27 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TXT.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+CORPUS_QUALITY_MIN = 0.8
+
+
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation composition — the training-set selection pass a
+    data pipeline actually runs: exact-dedup representatives (min doc_id per
+    normalized-text fingerprint) filtered to quality ≥ threshold, with the
+    per-doc token/char budget the sampler downstream consumes. One
+    hash-groupBy shuffle (the dedup) + a semi-join + pure-Column scoring —
+    the composition shape that scales to the full corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    sel = docs.join(keep, on="doc_id", how="left_semi").select(
+        "doc_id",
+        TXT.quality_score_col(F.col("text")).alias("quality"),
+        TXT.token_count_col(F.col("text")).cast("int").alias("n_tok"),
+        F.length(F.trim(F.col("text"))).cast("int").alias("n_chr"),
+    )
+    return sel.where(F.col("quality") >= CORPUS_QUALITY_MIN)
+
+
 # ---------------------------------------------------------------------------
 # oracle_sql() — DuckDB dialect
 # ---------------------------------------------------------------------------
@@ -1103,6 +1124,28 @@ FROM m
 SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
        COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
 FROM documents GROUP BY 1
+"""
+
+    sqls["corpus_select"] = rf"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+m AS (SELECT d.doc_id,
+  CAST(length(trim(text)) AS DOUBLE) AS n_chars,
+  CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok
+  FROM documents d JOIN keep k ON k.doc_id = d.doc_id),
+q AS (SELECT doc_id, round(
+  LEAST(n_chars / 400.0, 1.0) * 0.4
+  + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha / n_chars END) * 0.4
+  + (CASE WHEN n_tok = 0 THEN 0.0
+          WHEN n_chars / n_tok >= 3.0 AND n_chars / n_tok <= 10.0 THEN 1.0
+          ELSE 0.0 END) * 0.2, 4) AS quality,
+  CAST(n_tok AS INT) AS n_tok, CAST(n_chars AS INT) AS n_chr
+  FROM m)
+SELECT doc_id, quality, n_tok, n_chr FROM q WHERE quality >= {CORPUS_QUALITY_MIN}
 """
 
     sqls["doc_fingerprints"] = r"""
@@ -1483,6 +1526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "exact_dedup": q_exact_dedup,
     "doc_fingerprints": q_doc_fingerprints,
+    "corpus_select": q_corpus_select,
     "minhash_buckets": q_minhash_buckets,
     "ngram_jaccard_topk": q_ngram_jaccard_topk,
     "simhash": q_simhash,

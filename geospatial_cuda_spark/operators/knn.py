@@ -271,6 +271,7 @@ def ann_ivf(
     vec_id: str = "vec_id",
     emb: str = "embedding",
     qid: str = "q_vec_id",
+    max_centroids: int = 65536,
 ) -> DataFrame:
     """IVF-bucketed ANN. Centroids are a DETERMINISTIC HASH SAMPLE of the
     corpus (ordered by md5 of the id — seeded, order-insensitive, so a sorted
@@ -283,9 +284,24 @@ def ann_ivf(
     the same cross-engine determinism contract as ann_bruteforce's scoring —
     so the oracle reproduces bucket assignment and probe sets exactly.
     Recall < 1 by construction — the recall@k ≥ 0.9 gate vs ann_bruteforce
-    (with an n_probe sweep) lives in tests/test_pip_knn.py."""
+    (with an n_probe sweep) lives in tests/test_pip_knn.py.
+
+    The centroid matrix rides the driver and every task closure
+    (n_centroids × dim float64), and assignment is a dense matmul against
+    it — both scale linearly in n_centroids, so the ⌈√N⌉ default is capped
+    by ``max_centroids`` with a fail-fast: beyond that (corpus ≳ 4·10⁹ at
+    the default), a flat coarse quantizer is the wrong tool and the caller
+    should pass an explicit ``n_centroids`` (bucket size N/n_centroids
+    grows instead) or move to a trained/hierarchical quantizer."""
     if n_centroids is None:
         n_centroids = max(4, int(np.ceil(np.sqrt(embeddings.count()))))
+        if n_centroids > max_centroids:
+            raise ValueError(
+                f"ann_ivf: default centroid count {n_centroids} exceeds "
+                f"max_centroids={max_centroids} (closure/matmul cost is "
+                "linear in it); pass n_centroids explicitly or use a "
+                "trained coarse quantizer at this corpus size"
+            )
     cents = np.array(
         [
             r[emb]

@@ -191,6 +191,7 @@ def run_queries(spark) -> dict[str, float]:
         "pip_rects",
         "pip_convex",
         "exact_dedup",
+        "corpus_select",
         "minhash_buckets",
         "simhash",
         "ann_topk",

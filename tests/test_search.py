@@ -93,3 +93,24 @@ def test_strategies_agree_on_edge_pack(spark, world):
     a = S.quadrant_search_broadcast(edge, cells).orderBy("qid").toPandas()
     b = S.quadrant_search_prefix(edge, cells).orderBy("qid").toPandas()
     assert a[S.RESULT_COL].tolist() == b[S.RESULT_COL].tolist()
+
+
+def test_cells_cache_lru_evicts_and_unpersists(spark, monkeypatch):
+    """ADVICE r2: the per-dataset index cache must not grow (and hold
+    executor storage) without bound across datasets — the LRU bound evicts
+    AND unpersists the oldest entry."""
+    from geospatial_cuda_spark import entrypoints as E
+
+    E._CELLS_CACHE.clear()
+    monkeypatch.setattr(E, "_CELLS_CACHE_MAX", 1)
+    df1 = E._cells(spark, "/root/testdata/sf0.001")
+    assert df1.storageLevel.useMemory
+    df2 = E._cells(spark, "/root/testdata/sf0.01")
+    assert len(E._CELLS_CACHE) == 1
+    assert not df1.storageLevel.useMemory  # evicted entry unpersisted
+    assert df2.storageLevel.useMemory
+    # re-request of the evicted dataset rebuilds (cache miss, no stale entry)
+    df1b = E._cells(spark, "/root/testdata/sf0.001")
+    assert df1b.storageLevel.useMemory and len(E._CELLS_CACHE) == 1
+    E._CELLS_CACHE.clear()
+    df1b.unpersist()

@@ -660,14 +660,27 @@ class SnapshotTable:
 
     # -- read path -----------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Committed data only: load EXACTLY the current manifest's file set
-        (crash residue and expired snapshots' files in the data dir are never
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Committed data only: load EXACTLY the manifest's file set (crash
+        residue and expired snapshots' files in the data dir are never
         visible — file-level manifests, the Iceberg read model), with pending
-        merge-on-read delta batches applied (see ``append_deltas``)."""
-        m = self.current()
-        if m is None:
-            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        merge-on-read delta batches applied (see ``append_deltas``).
+
+        ``version`` time-travels to a specific published snapshot (default:
+        CURRENT). Snapshot isolation makes this exact — upserts/compactions
+        never touch prior versions' files — until ``vacuum`` expires the
+        files CURRENT no longer references (Iceberg's expire_snapshots
+        contract: vacuumed history is gone by design)."""
+        if version is None:
+            m = self.current()
+            if m is None:
+                raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        else:
+            vp = self._version_path(version)
+            if not os.path.exists(vp):
+                raise FileNotFoundError(f"no snapshot v{version} at {self.path}")
+            with open(vp) as f:
+                m = json.load(f)
         bucket_col = m["bucket_col"]
         deltas = {b for b, v in (m.get("deltas") or {}).items() if v}
         paths = [

@@ -274,6 +274,30 @@ def test_snapshot_null_bucket_fails_fast(spark, tmp_path):
     assert snap.vacuum() >= 1  # the aborted attempt's files are collected
 
 
+def test_snapshot_time_travel_read(spark, bucketed_df, tmp_path):
+    """Snapshot isolation makes historical reads exact: read(version=k)
+    reproduces snapshot k bit-for-bit after later upserts — until vacuum
+    expires the files CURRENT no longer references (Iceberg
+    expire_snapshots contract)."""
+    from geospatial_cuda_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(str(tmp_path / "t"))
+    snap.commit(bucketed_df, "bucket")
+    v1_rows = _rows(snap.read(spark).select("pid", "bucket", "val"))
+    survivors = bucketed_df.where((F.col("bucket") != "3") | (F.col("pid") % 2 == 0))
+    snap.overwrite_buckets(survivors.where(F.col("bucket") == "3"), "bucket", ["3"])
+    # CURRENT shows the upsert; v1 still reads the original state exactly
+    assert _rows(snap.read(spark).select("pid", "bucket", "val")) != v1_rows
+    assert _rows(snap.read(spark, version=1).select("pid", "bucket", "val")) == v1_rows
+    with pytest.raises(FileNotFoundError, match="no snapshot v9"):
+        snap.read(spark, version=9)
+    # vacuum expires v1's replaced files — history is gone by design
+    assert snap.vacuum() >= 1
+    assert _rows(snap.read(spark).select("pid", "bucket", "val")) == _rows(
+        survivors.select("pid", "bucket", "val")
+    )
+
+
 def test_snapshot_current_rolls_forward_past_crashed_publisher(spark, bucketed_df, tmp_path):
     """A publisher that crashed between linking v{N}.json and repointing
     CURRENT leaves a complete manifest on disk. Readers must adopt the chain

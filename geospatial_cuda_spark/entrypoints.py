@@ -72,30 +72,50 @@ def _queries(spark: SparkSession, sf_dir: str, limit: int = 200) -> DataFrame:
     )
 
 
-_CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_CELLS_CACHE_MAX = 4  # datasets per app; LRU-evicted (ADVICE r2: unbounded
-# growth across datasets was a slow cache leak in long-lived sessions)
+_CELLS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CELLS_CACHE_MAX = 6  # index relations per app; LRU-evicted (ADVICE r2:
+# unbounded growth across datasets was a slow cache leak in long sessions)
 
 
-def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The quadtree cells relation for a dataset — the engine's INDEX.
+def _cached_index(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    """Per-(application, dataset) cache of the engine's INDEX relations.
 
-    Built once per (Spark application, dataset) and persisted: a deployment
-    builds its index once (or loads it from the committed snapshot) and
-    serves every lookup from it; rebuilding per query would bill index
-    construction into every search. The cache also bounds the internal
-    counts persist to one per dataset, and LRU-evicts (unpersisting) beyond
-    ``_CELLS_CACHE_MAX`` datasets so a session iterating many datasets does
-    not accumulate executor storage forever."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    A deployment builds its index once (or loads it from the committed
+    snapshot) and serves every lookup from it; rebuilding per query would
+    bill index construction into every search. LRU-evicts (unpersisting)
+    beyond ``_CELLS_CACHE_MAX`` entries so a session iterating many
+    datasets does not accumulate executor storage forever."""
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
     df = _CELLS_CACHE.pop(key, None)  # pop+reinsert = move to MRU position
     if df is None:
-        df = QT.build_cells(_points(spark, sf_dir), max_depth=CELL_DEPTH).persist()
+        df = build().persist()
     _CELLS_CACHE[key] = df
     while len(_CELLS_CACHE) > _CELLS_CACHE_MAX:
         oldest = next(iter(_CELLS_CACHE))  # insertion order = LRU order
         _CELLS_CACHE.pop(oldest).unpersist()
     return df
+
+
+def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quadtree cells relation for a dataset (see _cached_index)."""
+    return _cached_index(
+        spark, sf_dir, "cells",
+        lambda: QT.build_cells(_points(spark, sf_dir), max_depth=CELL_DEPTH),
+    )
+
+
+def _indexed_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cell-indexed point table (finest-depth quadkey per point, coords
+    as double for integer-exact squared distances) — the maintained relation
+    the cell-pruned kNN scale path serves from (the X7 clustered layout's
+    in-memory twin; see _cached_index)."""
+    def build():
+        pts = QT.with_cell_id(_points(spark, sf_dir), 18)
+        return pts.withColumn("x", F.col("x").cast("double")).withColumn(
+            "y", F.col("y").cast("double")
+        )
+
+    return _cached_index(spark, sf_dir, "points18", build)
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +371,7 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     as_double = lambda df: df.withColumn("x", F.col("x").cast("double")).withColumn(
         "y", F.col("y").cast("double")
     )
-    pts = as_double(QT.with_cell_id(_points(spark, sf_dir), 18))
+    pts = _indexed_points(spark, sf_dir)
     # depth 6 ≈ 150 points/cell at sf0.1: the radius-1 ring (9 cells) already
     # carries >> k candidates, so round 1 is exact for nearly every query and
     # the candidate join touches ~0.2% of the table per query — depth 3 cells

@@ -1,0 +1,64 @@
+"""S1 parity: the reference's native 'x y' text-file point source.
+
+The CUDA engine reads whitespace-separated float pairs and skips malformed
+lines (inference.cu:31-44). These tests pin: same accepted/skipped set,
+float32 parsing, file-order pid assignment, and that the ingested points
+drive the quadtree identically to the in-memory fixture path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geospatial_cuda_spark.functions import cells as C
+from geospatial_cuda_spark.sources.points_txt import read_points_txt
+
+
+def test_reference_format_parse_and_skip(spark, tmp_path):
+    p = tmp_path / "points.txt"
+    p.write_text(
+        "10.5 20.25\n"
+        "   7   9  \n"          # leading/extra whitespace — reference's iss >> accepts
+        "bogus line\n"           # malformed: skipped with a warning in the reference
+        "5\n"                    # one field: skipped
+        "1e3 250000\n"           # scientific notation parses as float
+        "3.25 4.75 extra\n"      # trailing junk after two floats: reference accepts
+        "\n"                     # blank: skipped
+    )
+    got = read_points_txt(spark, str(p)).collect()
+    assert [(r["pid"], r["x"], r["y"]) for r in got] == [
+        (0, 10.5, 20.25),
+        (1, 7.0, 9.0),
+        (2, 1000.0, 250000.0),
+        (3, 3.25, 4.75),
+    ]
+    assert dict(read_points_txt(spark, str(p)).dtypes) == {
+        "pid": "bigint", "x": "float", "y": "float"
+    }
+
+
+def test_txt_points_drive_engine_identically(spark, tmp_path, small_points):
+    """Round-trip the fixture points through the reference text format: the
+    ingested relation must produce the identical cell encoding (float32
+    parse == float32 fixture values)."""
+    x, y = small_points
+    p = tmp_path / "pts.txt"
+    with open(p, "w") as f:
+        for xi, yi in zip(x, y):
+            f.write(f"{float(xi)!r} {float(yi)!r}\n")
+    df = read_points_txt(spark, str(p))
+    rows = df.orderBy("pid").collect()
+    gx = np.array([r["x"] for r in rows], dtype=np.float32)
+    gy = np.array([r["y"] for r in rows], dtype=np.float32)
+    assert np.array_equal(gx, x) and np.array_equal(gy, y)
+    assert np.array_equal(
+        C.encode_cell_ids(gx, gy, 8), C.encode_cell_ids(x, y, 8)
+    )
+
+
+def test_value_only_mode(spark, tmp_path):
+    p = tmp_path / "v.txt"
+    p.write_text("1 2\n3 4\n")
+    df = read_points_txt(spark, str(p), with_pid=False)
+    assert df.columns == ["x", "y"]
+    assert sorted(tuple(r) for r in df.collect()) == [(1.0, 2.0), (3.0, 4.0)]

@@ -62,3 +62,33 @@ def test_value_only_mode(spark, tmp_path):
     df = read_points_txt(spark, str(p), with_pid=False)
     assert df.columns == ["x", "y"]
     assert sorted(tuple(r) for r in df.collect()) == [(1.0, 2.0), (3.0, 4.0)]
+
+
+def test_reference_inference_cli_replay(spark, tmp_path):
+    """End-to-end twin of the reference binary's run (inference.cu:109-170):
+    text-file ingest → grid build + validation → the exact hardcoded s/i/d
+    script, with insert-if-missing / delete-if-present decisions and
+    incremental cell refresh between queries."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from run_inference import REFERENCE_SCRIPT, replay
+
+    p = tmp_path / "points.txt"
+    with open(p, "w") as f:
+        f.write("637093.0 90101.0\n")   # the script's first search target
+        for i in range(50):
+            f.write(f"{1000.0 + i * 7919.0} {2000.0 + i * 6101.0}\n")
+    pts = read_points_txt(spark, str(p), with_pid=False)
+    log = []
+    out = replay(spark, pts, REFERENCE_SCRIPT, 8, (0.0, 0.0, 1e6, 1e6), log=log.append)
+    types = [t for t, _, _ in out]
+    founds = [f for _, _, f in out]
+    quads = [q for _, q, _ in out]
+    assert types == ["s", "i", "s", "s", "d", "s"]
+    # search hit, insert-missing, search now-found, miss, delete-present,
+    # search gone — the reference's decision sequence
+    assert founds == [True, False, True, False, True, False]
+    assert all(q >= 0 for q in quads)
+    assert "Grid Verification Success!" in log
+    assert "Point not found in the grid." in log[-1]

@@ -271,6 +271,16 @@ def q_quadrant_search_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", S.RESULT_COL)
 
 
+def q_validate_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+A2 as a product operator: the reference's validate_grid pass over
+    the built index. The oracle states the invariant — (N, N, 0, 0, 0) —
+    from an independent count, so ANY violation (unclaimed point, leaf
+    overlap, split miscount) hash-mismatches the driver gate."""
+    return QT.validate_cells(
+        _points(spark, sf_dir), _cells(spark, sf_dir), max_depth=CELL_DEPTH
+    )
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+J2: exact point membership in the located quadrant."""
     pts = _points(spark, sf_dir)
@@ -984,6 +994,19 @@ FROM pts GROUP BY 1
     sqls["quadrant_search"] = search_sql
     sqls["quadrant_search_broadcast"] = search_sql
 
+    # validate_cells: the oracle states the invariant from an independent
+    # count — any unclaimed point / leaf overlap / split miscount on the
+    # Spark side hash-mismatches.
+    sqls["validate_cells"] = f"""
+WITH pts AS ({PTS_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(*) AS BIGINT) AS leaf_count_sum,
+       CAST(0 AS BIGINT) AS n_unclaimed,
+       CAST(0 AS BIGINT) AS n_multi_claimed,
+       CAST(0 AS BIGINT) AS n_count_mismatch
+FROM pts
+"""
+
     sqls["point_lookup"] = (
         "WITH " + _cells_cte() + ",\n"
         "queries AS (SELECT DISTINCT x * 1000000 + y AS qid, x, y FROM pts WHERE pid % 3001 = 0\n"
@@ -1532,6 +1555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quadrant_search_broadcast": q_quadrant_search_broadcast,
     "point_lookup": q_point_lookup,
     "range_filter": q_range_filter,
+    "validate_cells": q_validate_cells,
     "cell_rollup": q_cell_rollup,
     "knn": q_knn,
     "knn_cells": q_knn_cells,

@@ -261,3 +261,71 @@ def build_cells(
     """
     counts_all = counts_from_points(points, x, y, domain, max_depth).persist()
     return cells_from_counts(counts_all, min_points, min_distance, max_depth, domain)
+
+
+def validate_cells(
+    points: DataFrame,
+    cells: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    domain=DOMAIN,
+    max_depth: int = MAX_DEPTH,
+) -> DataFrame:
+    """The reference's validate_grid pass (inference.cu:95-102) as a
+    relational operator: one row of invariant-violation counts, all zero
+    iff the cells relation is a valid quadtree over ``points``.
+
+    - ``n_points`` / ``leaf_count_sum``: leaf counts conserve the corpus;
+    - ``n_unclaimed``: points whose ancestor chain hits NO leaf (P4 —
+      out-of-bounds / hole check, cuda/kernels.cu boundary containment);
+    - ``n_multi_claimed``: points claimed by >1 leaf (leaves must tile);
+    - ``n_count_mismatch``: interior cells whose children's counts do not
+      sum to theirs (A2 — count conservation at every split).
+
+    Shape: one points-sized projection (finest encode + ancestor explode,
+    depth+1 rows per point) semi-joined against the broadcast leaf set,
+    plus one cells-sized self-join — no full re-sort, no driver loops."""
+    leaves = cells.where(F.col("is_leaf")).select("cell_id", "count")
+    finest = with_cell_id(points.select(x, y), max_depth, x, y, "_fid", domain)
+    chain = F.array(*[ancestor_col(F.col("_fid"), k) for k in range(max_depth + 1)])
+    claimed = (
+        finest.select(F.monotonically_increasing_id().alias("_pid"),
+                      F.explode(chain).alias("cell_id"))
+        .join(F.broadcast(leaves.select("cell_id")), on="cell_id", how="inner")
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n_leaves"))
+    )
+    pt_stats = claimed.agg(
+        F.count(F.lit(1)).alias("_n_claimed"),
+        F.sum((F.col("_n_leaves") > 1).cast("long")).alias("n_multi_claimed"),
+    )
+    kids = cells.select(
+        ancestor_col(F.col("cell_id"), 1).alias("_parent"),
+        F.col("count").alias("_child_count"),
+    ).where(F.col("cell_id") > 0)
+    mismatch = (
+        cells.where(~F.col("is_leaf"))
+        .select(F.col("cell_id").alias("_parent"), "count")
+        .join(kids, on="_parent", how="left")
+        .groupBy("_parent", "count")
+        .agg(F.sum("_child_count").alias("_ksum"))
+        .agg(
+            F.sum(
+                (F.coalesce(F.col("_ksum"), F.lit(-1)) != F.col("count")).cast("long")
+            ).alias("n_count_mismatch")
+        )
+    )
+    totals = points.agg(F.count(F.lit(1)).alias("n_points")).crossJoin(
+        leaves.agg(F.sum("count").alias("leaf_count_sum"))
+    )
+    return (
+        totals.crossJoin(pt_stats)
+        .crossJoin(mismatch)
+        .select(
+            "n_points",
+            F.coalesce(F.col("leaf_count_sum"), F.lit(0)).alias("leaf_count_sum"),
+            (F.col("n_points") - F.col("_n_claimed")).alias("n_unclaimed"),
+            F.coalesce(F.col("n_multi_claimed"), F.lit(0)).alias("n_multi_claimed"),
+            F.coalesce(F.col("n_count_mismatch"), F.lit(0)).alias("n_count_mismatch"),
+        )
+    )

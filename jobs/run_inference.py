@@ -53,10 +53,14 @@ def replay(spark, points, script, max_depth, domain, log=print):
     cells = QT.cells_from_counts(counts, max_depth=max_depth, domain=domain)
 
     log("Validating grid...")
-    leaf_sum = (
-        cells.where(F.col("is_leaf")).agg(F.sum("count")).first()[0] or 0
+    v = QT.validate_cells(points, cells, domain=domain, max_depth=max_depth).first()
+    ok = (
+        v["leaf_count_sum"] == v["n_points"]
+        and v["n_unclaimed"] == 0
+        and v["n_multi_claimed"] == 0
+        and v["n_count_mismatch"] == 0
     )
-    log("Grid Verification Success!" if leaf_sum == n else "Grid Verification Failure!")
+    log("Grid Verification Success!" if ok else f"Grid Verification Failure! {v}")
 
     out = []
     for qtype, qx, qy in script:

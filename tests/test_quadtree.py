@@ -111,3 +111,35 @@ def test_clustered_layout_prunes_scan(spark, small_points_df, tmp_path):
         QT.ancestor_col(F.col("cell_id"), 16) == prefixes[0]
     ).select("pid")
     assert got_rows == sorted(r[0] for r in want.collect())
+
+
+def test_validate_cells_detects_corruption(spark, small_points_df):
+    """validate_grid as a product operator (P4+A2): a valid tree reports
+    all-zero violations with conserved counts; dropping leaves or
+    perturbing a count is detected on the matching axis."""
+    from pyspark.sql import functions as F
+
+    from geospatial_cuda_spark.operators import quadtree as QT
+
+    cells = QT.build_cells(small_points_df, max_depth=8).persist()
+    n = small_points_df.count()
+    v = QT.validate_cells(small_points_df, cells, max_depth=8).first()
+    assert (v["n_points"], v["leaf_count_sum"]) == (n, n)
+    assert v["n_unclaimed"] == v["n_multi_claimed"] == v["n_count_mismatch"] == 0
+    # drop every populated leaf with cell_id % 5 == 0 → unclaimed points +
+    # broken split sums
+    broken = cells.where(
+        ~(F.col("is_leaf") & (F.col("count") > 0) & (F.col("cell_id") % 5 == 0))
+    )
+    b = QT.validate_cells(small_points_df, broken, max_depth=8).first()
+    assert b["n_unclaimed"] > 0 and b["leaf_count_sum"] < n
+    assert b["n_count_mismatch"] > 0
+    # corrupt one interior count → exactly the A2 axis fires
+    tweaked = cells.withColumn(
+        "count",
+        F.when(~F.col("is_leaf") & (F.col("depth") == 2), F.col("count") + 1)
+        .otherwise(F.col("count")),
+    )
+    t = QT.validate_cells(small_points_df, tweaked, max_depth=8).first()
+    assert t["n_count_mismatch"] > 0 and t["n_unclaimed"] == 0
+    cells.unpersist()

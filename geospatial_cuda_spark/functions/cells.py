@@ -447,12 +447,19 @@ def candidate_chain_cols(xcol, ycol, max_depth: int, domain=DOMAIN):
     return chains, in_domain
 
 
-def candidate_cells_col(xcol, ycol, max_depth: int = MAX_DEPTH, domain=DOMAIN):
+def candidate_cells_col(xcol, ycol, max_depth: int = MAX_DEPTH, domain=DOMAIN,
+                        impl: str = "auto"):
     """Column: array<long> of closed-containment candidate ids (with dups).
 
-    Same JVM/Arrow dispatch rule as cell_id_col: depth ≤ 10 on the default
-    domain runs whole-stage-codegen; deeper replays the float32 descent."""
-    if max_depth <= _EXACT_JVM_DEPTH and tuple(domain) == tuple(DOMAIN):
+    ``impl='auto'``: same JVM/Arrow dispatch rule as cell_id_col — depth ≤ 10
+    on the default domain runs whole-stage-codegen; deeper replays the
+    float32 descent in the Arrow kernel. ``impl='arrow'`` forces the kernel
+    at any depth: the JVM form's large expression tree costs ~2 s of Janino
+    compile on every FRESH plan (measured; its execution is ~10× the kernel's
+    throughput once compiled and ships zero Arrow bytes), so one-shot or
+    small-Q plans come out ahead on the kernel while long-lived sessions and
+    huge query sides favor the compiled JVM form."""
+    if impl != "arrow" and max_depth <= _EXACT_JVM_DEPTH and tuple(domain) == tuple(DOMAIN):
         return candidate_cells_col_jvm(xcol, ycol, max_depth, domain)
 
     @F.pandas_udf(ArrayType(LongType()))

@@ -63,9 +63,22 @@ def quadrant_search_prefix(
     max_depth: int = MAX_DEPTH,
     domain=DOMAIN,
     broadcast_cells: bool = False,
+    candidate_impl: str = "jvm",
 ) -> DataFrame:
-    """Scale path: candidate-chain equi-join instead of nested-loop scan."""
-    if max_depth <= C._EXACT_JVM_DEPTH and tuple(domain) == tuple(C.DOMAIN):
+    """Scale path: candidate-chain equi-join instead of nested-loop scan.
+
+    ``candidate_impl``: 'jvm' (default) generates candidates in whole-stage
+    codegen where depth allows — zero Python, zero Arrow transfer, the right
+    call for long-lived sessions (the ~2 s Janino compile of the chain
+    projections amortizes across queries; steady-state execution measured
+    ~0.14 s at sf0.1) and for huge query sides (the kernel ships ~300 B of
+    Arrow per query). 'arrow' forces the kernel — a ONE-SHOT plan skips the
+    compile entirely (measured 0.27 s end-to-end on the same input)."""
+    if (
+        candidate_impl != "arrow"
+        and max_depth <= C._EXACT_JVM_DEPTH
+        and tuple(domain) == tuple(C.DOMAIN)
+    ):
         # Two-projection JVM form: the 4 full-depth chain ids are staged as
         # real columns (multi-use, so Catalyst keeps the projection), and
         # the exploded per-depth candidates are just ancestor arithmetic on
@@ -97,7 +110,9 @@ def quadrant_search_prefix(
             queries.select(
                 qid,
                 F.explode(
-                    C.candidate_cells_col(F.col(x), F.col(y), max_depth, domain)
+                    C.candidate_cells_col(
+                        F.col(x), F.col(y), max_depth, domain, impl=candidate_impl
+                    )
                 ).alias("cell_id"),
             )
             .where(F.col("cell_id") >= 0)

@@ -114,3 +114,16 @@ def test_cells_cache_lru_evicts_and_unpersists(spark, monkeypatch):
     assert df1b.storageLevel.useMemory and len(E._CELLS_CACHE) == 1
     E._CELLS_CACHE.clear()
     df1b.unpersist()
+
+
+def test_candidate_impls_agree(spark, world):
+    """The Arrow-kernel candidate path (one-shot-plan fast: no Janino
+    compile) must return exactly the JVM codegen path's results."""
+    _root, _bnds, cells, queries, _qpdf, _want = world
+    a = S.quadrant_search_prefix(queries, cells, max_depth=8).orderBy("qid")
+    b = S.quadrant_search_prefix(
+        queries, cells, max_depth=8, candidate_impl="arrow"
+    ).orderBy("qid")
+    assert [tuple(r) for r in a.select("qid", S.RESULT_COL).collect()] == [
+        tuple(r) for r in b.select("qid", S.RESULT_COL).collect()
+    ]

@@ -126,3 +126,45 @@ def test_stateful_cell_counts_accumulate_across_batches(spark, tmp_path):
     got1 = run_available()
     bl_cell = min(got0)  # BL cell id < TR cell id at any depth
     assert got1[bl_cell] == got0[bl_cell] + 2
+
+
+def test_windowed_append_drops_late_beyond_watermark(spark, tmp_path):
+    """Watermark semantics pinned end-to-end: once the watermark passes a
+    window, a late row targeting it is DROPPED — the finalized window emits
+    exactly the in-watermark count, and state stays bounded."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run() -> None:
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        agg = tile_window_counts(stream, zoom=4, window="10 minutes", watermark="30 minutes")
+
+        def sink(batch, batch_id):
+            batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two events in window [0, 10) — watermark still behind, no emit
+    _write_batch(src, "b0.json", [_events(1, 1, 100_000, 100_000),
+                                  _events(2, 2, 100_100, 100_100)])
+    run()
+    # run 2: minute-50 event advances the watermark to 20 after the batch
+    _write_batch(src, "b1.json", [_events(50, 3, 100_000, 100_000)])
+    run()
+    # run 3: a LATE row for the now-finalized [0, 10) window (minute 3 <
+    # watermark 20) must be dropped; window [0, 10) emits with count 2
+    _write_batch(src, "b2.json", [_events(3, 99, 100_000, 100_000),
+                                  _events(55, 4, 100_000, 100_000)])
+    run()
+    rows = spark.read.parquet(out_dir).collect()
+    w0 = [r for r in rows if r["win"].start.minute == 0]
+    assert len(w0) == 1, rows
+    assert w0[0]["n_events"] == 2  # the late event_id=99 did NOT count

@@ -558,9 +558,22 @@ class SnapshotTable:
     ) -> DataFrame:
         """Base rows of the delta'd buckets with every pending delta batch
         applied in sequence order: per batch, insert-if-missing on the delta
-        key, then equality-delete. Batches are micro-batch-sized, so AQE
-        broadcasts them against the bucket state; the fold depth is bounded
-        by compact_threshold."""
+        key, then equality-delete.
+
+        ONE window pass, not a per-batch join chain: the sequential fold's
+        outcome per key is closed-form — a base row survives iff the key was
+        never deleted; an insert row survives iff its sequence exceeds the
+        key's last delete AND it belongs to the FIRST insert batch after
+        that delete with the key not already present (insert-if-missing:
+        later batches find the key occupied; a same-batch delete kills its
+        own batch's insert because ``seq > last_del`` fails at equality —
+        inserts apply before deletes within a batch). Two windowed
+        aggregates over (bucket, key) compute last-delete and
+        first-live-insert, so merge cost is one shuffle independent of how
+        many delta batches are pending — at scale the read/compaction fan-in
+        is a constant number of stages, not O(#batches) joins."""
+        from pyspark.sql import Window
+
         bucket_col = m["bucket_col"]
         keys = m["delta_key"]
         op = m.get("delta_op", "_op")
@@ -573,16 +586,13 @@ class SnapshotTable:
             for b in deltas
             for f in (m.get("files") or {}).get(b, [])
         ]
-        batches: list[tuple[int, list[str]]] = []
-        for b, v in deltas.items():
-            for seq, files in v:
-                batches.append(
-                    (seq, [os.path.join(self.delta_dir, f"{bucket_col}={b}", f) for f in files])
-                )
         # group same-seq files across buckets into one read
         by_seq: dict[int, list[str]] = {}
-        for seq, paths in batches:
-            by_seq.setdefault(seq, []).extend(paths)
+        for b, v in deltas.items():
+            for seq, files in v:
+                by_seq.setdefault(seq, []).extend(
+                    os.path.join(self.delta_dir, f"{bucket_col}={b}", f) for f in files
+                )
 
         def _read(root: str, paths: list[str]) -> DataFrame:
             df = spark.read.option("basePath", root).parquet(*paths)
@@ -590,19 +600,37 @@ class SnapshotTable:
 
         first_delta = _read(self.delta_dir, by_seq[min(by_seq)])
         state_cols = [c for c in first_delta.columns if c != op]
+        parts = [
+            _read(self.delta_dir, by_seq[seq]).select(
+                *state_cols, F.col(op).alias("_ev"), F.lit(seq).alias("_seq")
+            )
+            for seq in sorted(by_seq)
+        ]
         if base_paths:
-            state = _read(self.data_dir, base_paths).select(state_cols)
-        else:
-            state = first_delta.select(state_cols).limit(0)
-        for seq in sorted(by_seq):
-            batch = _read(self.delta_dir, by_seq[seq])
-            ins = batch.where(F.col(op) == "i").select(state_cols)
-            dels = batch.where(F.col(op) == "d").select(keys)
-            # insert-if-missing (the reference's failed-membership-check rule,
-            # operators/mutations.insert_points), then equality-delete
-            state = state.unionByName(ins.join(state.select(keys), on=keys, how="left_anti"))
-            state = state.join(dels, on=keys, how="left_anti")
-        return state
+            parts.insert(
+                0,
+                _read(self.data_dir, base_paths).select(
+                    *state_cols, F.lit("b").alias("_ev"), F.lit(0).alias("_seq")
+                ),
+            )
+        ev = parts[0]
+        for p in parts[1:]:
+            ev = ev.unionByName(p)
+        w = Window.partitionBy(bucket_col, *keys)
+        last_del = F.max(F.when(F.col("_ev") == "d", F.col("_seq"))).over(w)
+        has_base = F.max((F.col("_ev") == "b").cast("int")).over(w)
+        live_ins = F.min(
+            F.when(
+                (F.col("_ev") == "i")
+                & (F.col("_seq") > F.coalesce(last_del, F.lit(-1)))
+                & ~((has_base == 1) & last_del.isNull()),
+                F.col("_seq"),
+            )
+        ).over(w)
+        survives = ((F.col("_ev") == "b") & last_del.isNull()) | (
+            (F.col("_ev") == "i") & (F.col("_seq") == live_ins)
+        )
+        return ev.withColumn("_keep", survives).where(F.col("_keep")).select(state_cols)
 
     def vacuum(self) -> int:
         """Delete data/delta files not referenced by the CURRENT manifest

@@ -433,7 +433,7 @@ class SnapshotTable:
         buckets: list[str],
         key_cols: list[str],
         op_col: str = "_op",
-        compact_threshold: int = 4,
+        compact_threshold: int = 8,
     ) -> dict:
         """Merge-on-read upsert: append ONE delta batch (insert rows with
         ``op_col``='i', delete keys with ``op_col``='d') for the given

@@ -52,7 +52,7 @@ class PointTableStream:
         state_dir: str,
         max_depth: int = 18,
         bucket_depth: int = 3,
-        compact_threshold: int = 4,
+        compact_threshold: int = 8,
     ):
         self.spark = spark
         self.state_dir = state_dir

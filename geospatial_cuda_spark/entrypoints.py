@@ -366,7 +366,9 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y", F.col("y").cast("double")
     )
     res = K.knn_bruteforce(
-        as_double(_queries(spark, sf_dir, limit=10)), as_double(_points(spark, sf_dir)), k=5
+        as_double(_queries(spark, sf_dir, limit=10)),
+        _indexed_points(spark, sf_dir).drop("cell_id"),
+        k=5,
     )
     return res.select(
         "qid", "pid", F.col("dist2").cast("long").alias("dist2"),

@@ -942,6 +942,45 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS_QUALITY_MIN = 0.8
+CORPUS_TOKEN_BUDGET = 12_000
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection over the curated corpus (highest
+    quality first, doc_id tie-break) in the SCALABLE two-phase shape: the
+    quality→token-sum histogram is tiny (quality has 4 dp — ≤10⁴+1 bins),
+    the budget cut is a window over that histogram, and only the single
+    BOUNDARY bin needs a row-level ordered scan (bounded by the docs
+    sharing one quality value). The naive formulation — one cumulative-sum
+    window over the whole corpus — is a single-reducer sort and never runs
+    here."""
+    from pyspark.sql import Window
+
+    B = CORPUS_TOKEN_BUDGET
+    sel = q_corpus_select(spark, sf_dir)
+    binned = sel.withColumn(
+        "_bin", F.round(F.col("quality") * 10000).cast("long")
+    )
+    bin_sums = binned.groupBy("_bin").agg(F.sum("n_tok").alias("_btok"))
+    cum = bin_sums.withColumn(
+        "_cum", F.sum("_btok").over(Window.orderBy(F.desc("_bin")))
+    )
+    full = cum.where(F.col("_cum") <= B).select("_bin")
+    boundary = (
+        cum.where(F.col("_cum") > B)
+        .orderBy(F.desc("_bin"))
+        .limit(1)
+        .select("_bin", (F.lit(B) - (F.col("_cum") - F.col("_btok"))).alias("_left"))
+    )
+    in_full = binned.join(F.broadcast(full), on="_bin", how="left_semi")
+    wd = Window.partitionBy("_bin").orderBy("doc_id")
+    part = (
+        binned.join(F.broadcast(boundary), on="_bin")
+        .withColumn("_c", F.sum("n_tok").over(wd))
+        .where(F.col("_c") <= F.col("_left"))
+    )
+    out_cols = ["doc_id", "quality", "n_tok"]
+    return in_full.select(out_cols).unionByName(part.select(out_cols))
 
 
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,6 +1231,27 @@ q AS (SELECT doc_id, round(
   FROM m)
 SELECT doc_id, quality, n_tok, n_chr FROM q WHERE quality >= {CORPUS_QUALITY_MIN}
 """
+
+    # corpus_sample: the same curation CTE chain + the two-phase budget cut
+    corpus_q_cte = sqls["corpus_select"].split("SELECT doc_id, quality")[0]
+    sqls["corpus_sample"] = (
+        corpus_q_cte
+        + f""", b AS (SELECT CAST(round(quality * 10000) AS BIGINT) AS bin,
+             doc_id, quality, n_tok FROM q WHERE quality >= {CORPUS_QUALITY_MIN}),
+bs AS (SELECT bin, SUM(n_tok) AS btok FROM b GROUP BY bin),
+cum AS (SELECT bin, btok, SUM(btok) OVER (ORDER BY bin DESC) AS cumsum FROM bs),
+bd AS (SELECT bin, {CORPUS_TOKEN_BUDGET} - (cumsum - btok) AS leftover
+       FROM cum WHERE cumsum > {CORPUS_TOKEN_BUDGET} ORDER BY bin DESC LIMIT 1)
+SELECT doc_id, quality, n_tok FROM b
+WHERE bin IN (SELECT bin FROM cum WHERE cumsum <= {CORPUS_TOKEN_BUDGET})
+UNION ALL
+SELECT doc_id, quality, n_tok FROM (
+  SELECT x.doc_id, x.quality, x.n_tok, bd.leftover,
+         SUM(x.n_tok) OVER (PARTITION BY x.bin ORDER BY x.doc_id) AS c
+  FROM b x JOIN bd ON x.bin = bd.bin) t
+WHERE c <= leftover
+"""
+    )
 
     sqls["doc_fingerprints"] = r"""
 SELECT doc_id,
@@ -1573,6 +1633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "doc_fingerprints": q_doc_fingerprints,
     "corpus_select": q_corpus_select,
+    "corpus_sample": q_corpus_sample,
     "minhash_buckets": q_minhash_buckets,
     "ngram_jaccard_topk": q_ngram_jaccard_topk,
     "simhash": q_simhash,

@@ -365,10 +365,11 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     as_double = lambda df: df.withColumn("x", F.col("x").cast("double")).withColumn(
         "y", F.col("y").cast("double")
     )
+    # NOT served from _indexed_points: brute force needs no cell ids, and
+    # paying the depth-18 encode to build that cache here is slower than the
+    # plain scan+cast (measured) — the cache belongs to the cell-pruned path.
     res = K.knn_bruteforce(
-        as_double(_queries(spark, sf_dir, limit=10)),
-        _indexed_points(spark, sf_dir).drop("cell_id"),
-        k=5,
+        as_double(_queries(spark, sf_dir, limit=10)), as_double(_points(spark, sf_dir)), k=5
     )
     return res.select(
         "qid", "pid", F.col("dist2").cast("long").alias("dist2"),

@@ -942,6 +942,19 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TXT.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints per document, aggregated to a
+    compact hash-gateable summary (count + lexicographic extremes of the
+    selected set)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sel = D.winnow_fingerprints(docs)
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+    )
+
+
 CORPUS_QUALITY_MIN = 0.8
 CORPUS_TOKEN_BUDGET = 12_000
 
@@ -1231,6 +1244,25 @@ q AS (SELECT doc_id, round(
   CAST(n_tok AS INT) AS n_tok, CAST(n_chars AS INT) AS n_chr
   FROM m)
 SELECT doc_id, quality, n_tok, n_chr FROM q WHERE quality >= {CORPUS_QUALITY_MIN}
+"""
+
+    # winnowing (MOSS): k=5 char-gram md5 hashes in position order, window
+    # w=4 minima over FULL windows (single clipped window for short docs),
+    # distinct selected set per doc. Fixed series bound 1024 > max doc
+    # length at every fixture scale (<= 577 chars).
+    sqls["winnow_fingerprints"] = r"""
+WITH sh AS (
+  SELECT doc_id, g.i AS i, md5(substr(lower(text), g.i, 5)) AS h,
+         GREATEST(length(text) - 4, 1) AS npos
+  FROM documents, generate_series(1, 1024) AS g(i)
+  WHERE doc_id < 200 AND g.i <= GREATEST(length(text) - 4, 1)),
+m AS (SELECT doc_id, i, npos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+      FROM sh),
+sel AS (SELECT DISTINCT doc_id, mn FROM m WHERE i <= GREATEST(npos - 4, 0) + 1)
+SELECT doc_id, COUNT(*) AS n_fp, MIN(mn) AS min_fp, MAX(mn) AS max_fp
+FROM sel GROUP BY doc_id
 """
 
     # corpus_sample: the same curation CTE chain + the two-phase budget cut
@@ -1633,6 +1665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "exact_dedup": q_exact_dedup,
     "doc_fingerprints": q_doc_fingerprints,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "corpus_select": q_corpus_select,
     "corpus_sample": q_corpus_sample,
     "minhash_buckets": q_minhash_buckets,

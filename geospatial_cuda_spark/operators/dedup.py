@@ -128,6 +128,44 @@ def near_dup_minhash(
     return jaccard_pairs(sh, pairs, id_col).where(F.col("jaccard") >= threshold)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing (the MOSS local document-fingerprinting algorithm,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): hash every k-gram IN POSITION
+    ORDER, slide a window of ``w`` consecutive hashes, record each window's
+    minimum — any shared substring of length ≥ k+w-1 between two documents
+    is guaranteed to share a selected fingerprint, which is the matching
+    guarantee plain MinHash lacks. Hashes are md5 (engine-portable);
+    windows shorter than ``w`` at the tail of short documents clip (the
+    single-window degenerate case selects the global minimum).
+
+    Returns one row per (doc, selected fingerprint) — per-doc linear work,
+    one window pass partitioned by doc; no corpus-wide shuffle beyond the
+    doc partitioning. Aggregate or band the output for candidate joins."""
+    from pyspark.sql import Window
+
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(shingles_expr(text, k))).alias("pos", "_sh"),
+    ).withColumn("_h", F.md5(F.col("_sh")))
+    n_pos = F.greatest(F.length(F.col(text)) - k + 1, F.lit(1))  # = shingles_expr's count
+    lim = df.select(F.col(id_col), (n_pos - w).alias("_maxp0"))
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        sh.withColumn("_min", F.min("_h").over(win))
+        .join(lim, on=id_col)
+        .where(F.col("pos") <= F.greatest(F.col("_maxp0"), F.lit(0)))
+        .select(id_col, F.col("_min").alias("fingerprint"))
+        .distinct()
+    )
+    return sel
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

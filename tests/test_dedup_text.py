@@ -123,3 +123,34 @@ def test_embedding_lsh_neardup_recall_vs_brute(spark):
     assert got_pairs <= truth  # exact verify ⇒ no false positives
     recall = len(got_pairs & truth) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_winnowing_matches_naive_and_guarantee(spark):
+    """Winnowing (MOSS): exact agreement with a naive per-doc Python
+    replication, plus the structural guarantee — documents sharing a
+    substring of length >= k+w-1 share at least one selected fingerprint."""
+    import hashlib
+
+    from geospatial_cuda_spark.operators import dedup as D
+
+    common = "the quick brown fox jumped over the lazy dog"
+    rows = [
+        (1, "aaaa " + common + " bbbb"),
+        (2, "cc " + common + " dddddd"),
+        (3, "zzzz qqqq wwww 0123 4567 89xy"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = D.winnow_fingerprints(docs, k=5, w=4).toPandas()
+    sets = {d: set(g["fingerprint"]) for d, g in got.groupby("doc_id")}
+
+    def naive(text: str, k: int = 5, w: int = 4) -> set[str]:
+        t = text.lower()
+        n_pos = max(len(text) - k + 1, 1)
+        hs = [hashlib.md5(t[i:i + k].encode()).hexdigest() for i in range(n_pos)]
+        starts = range(max(n_pos - w, 0) + 1)
+        return {min(hs[p:p + w]) for p in starts}
+
+    for doc_id, text in rows:
+        assert sets[doc_id] == naive(text), doc_id
+    assert sets[1] & sets[2]          # shared substring ⇒ shared fingerprint
+    assert not (sets[1] & sets[3])    # no shared 5-gram ⇒ disjoint

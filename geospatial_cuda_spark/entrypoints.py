@@ -92,7 +92,10 @@ def _cached_index(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFra
     _CELLS_CACHE[key] = df
     while len(_CELLS_CACHE) > _CELLS_CACHE_MAX:
         oldest = next(iter(_CELLS_CACHE))  # insertion order = LRU order
-        _CELLS_CACHE.pop(oldest).unpersist()
+        evicted = _CELLS_CACHE.pop(oldest)
+        evicted.unpersist()
+        for dep in getattr(evicted, "_graft_persists", []):  # internal counts
+            dep.unpersist()
     return df
 
 

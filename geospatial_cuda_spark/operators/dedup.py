@@ -16,7 +16,7 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..functions.text import fingerprint_col, shingles_expr
 from ..functions.vectors import cosine_col
-from ..util import splitmix64
+from ..util import round_half_away, splitmix64
 
 LSH_SEED = 0x5EEDED
 
@@ -354,7 +354,9 @@ def embedding_near_dups_lsh(
             dot += a[:, d] * b[:, d]
             na += a[:, d] * a[:, d]
             nb += b[:, d] * b[:, d]
-        return pd.Series(np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6))
+        # half-AWAY rounding (DuckDB round / Spark F.round); np.round's
+        # half-even would diverge on exact .5e-6 boundaries
+        return pd.Series(round_half_away(dot / (np.sqrt(na) * np.sqrt(nb)), 6))
 
     return (
         cand.join(va, on="a")

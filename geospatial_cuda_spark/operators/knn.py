@@ -312,17 +312,33 @@ def ann_ivf(
         ],
         dtype=np.float64,
     )
-    cents_norm = np.sqrt((cents * cents).sum(axis=1))
+    dim = cents.shape[1]
+    # sequential left-to-right accumulation — the same summation order as
+    # the oracle's list_dot_product fold (BLAS matmul's blocked/pairwise
+    # accumulation can differ in final ulps, which after rounding could
+    # flip an argmax on a knife-edge pair)
+    cents_norm = np.zeros(cents.shape[0])
+    for d in range(dim):
+        cents_norm += cents[:, d] * cents[:, d]
+    cents_norm = np.sqrt(cents_norm)
 
     def _bucket_udf(top: int):
         @F.pandas_udf(ArrayType(IntegerType()))
         def _assign(vs: pd.Series) -> pd.Series:
+            from ..util import round_half_away
+
             m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-            mn = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-12)
-            # dot(v, c) / (|v|·|c|), rounded — structurally the oracle's
-            # round(list_dot_product/..., 6); stable argsort on the rounded
-            # value breaks ties by ascending centroid index.
-            sims = np.round((m @ cents.T) / (mn[:, None] * cents_norm[None, :]), 6)
+            dot = np.zeros((m.shape[0], cents.shape[0]))
+            mn = np.zeros(m.shape[0])
+            for d in range(dim):
+                dot += m[:, d:d + 1] * cents[None, :, d]
+                mn += m[:, d] * m[:, d]
+            mn = np.sqrt(mn)
+            # dot(v, c) / (|v|·|c|) rounded half-away (DuckDB/Spark round
+            # semantics); stable argsort on the rounded value breaks ties
+            # by ascending centroid index — bit-matches the oracle's
+            # ROW_NUMBER ... ORDER BY csim DESC, cidx ASC.
+            sims = round_half_away(dot / (mn[:, None] * cents_norm[None, :]), 6)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
             return pd.Series([row.astype(np.int32) for row in order])
 

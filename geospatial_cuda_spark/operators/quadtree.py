@@ -260,7 +260,12 @@ def build_cells(
     leaf children of interior nodes.
     """
     counts_all = counts_from_points(points, x, y, domain, max_depth).persist()
-    return cells_from_counts(counts_all, min_points, min_distance, max_depth, domain)
+    cells = cells_from_counts(counts_all, min_points, min_distance, max_depth, domain)
+    # the internal counts persist rides along so long-lived callers (the
+    # entrypoints index cache) can release it with the cells relation —
+    # otherwise every build leaks one persisted counts DataFrame
+    cells._graft_persists = [counts_all]
+    return cells
 
 
 def validate_cells(
@@ -282,22 +287,31 @@ def validate_cells(
     - ``n_count_mismatch``: interior cells whose children's counts do not
       sum to theirs (A2 — count conservation at every split).
 
-    Shape: one points-sized projection (finest encode + ancestor explode,
-    depth+1 rows per point) semi-joined against the broadcast leaf set,
+    Shape: points aggregate to their FINEST cell first (the chain of every
+    point in a finest cell is identical, so claims are per finest cell ×
+    its multiplicity — this is also what makes multi/unclaimed counting
+    correct: a per-point id computed in the same projection as an explode
+    would be re-evaluated per exploded row), then one ancestor explode over
+    the ≤ occupied-finest-cells rows semi-joins the broadcast leaf set,
     plus one cells-sized self-join — no full re-sort, no driver loops."""
     leaves = cells.where(F.col("is_leaf")).select("cell_id", "count")
-    finest = with_cell_id(points.select(x, y), max_depth, x, y, "_fid", domain)
+    finest = (
+        with_cell_id(points.select(x, y), max_depth, x, y, "_fid", domain)
+        .groupBy("_fid")
+        .agg(F.count(F.lit(1)).alias("_npts"))
+    )
     chain = F.array(*[ancestor_col(F.col("_fid"), k) for k in range(max_depth + 1)])
-    claimed = (
-        finest.select(F.monotonically_increasing_id().alias("_pid"),
-                      F.explode(chain).alias("cell_id"))
+    claims = (
+        finest.select("_fid", "_npts", F.explode(chain).alias("cell_id"))
         .join(F.broadcast(leaves.select("cell_id")), on="cell_id", how="inner")
-        .groupBy("_pid")
+        .groupBy("_fid", "_npts")
         .agg(F.count(F.lit(1)).alias("_n_leaves"))
     )
-    pt_stats = claimed.agg(
-        F.count(F.lit(1)).alias("_n_claimed"),
-        F.sum((F.col("_n_leaves") > 1).cast("long")).alias("n_multi_claimed"),
+    pt_stats = claims.agg(
+        F.sum("_npts").alias("_n_claimed"),
+        F.sum(F.when(F.col("_n_leaves") > 1, F.col("_npts")).otherwise(F.lit(0))).alias(
+            "n_multi_claimed"
+        ),
     )
     kids = cells.select(
         ancestor_col(F.col("cell_id"), 1).alias("_parent"),

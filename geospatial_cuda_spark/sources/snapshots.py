@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -370,14 +371,11 @@ class SnapshotTable:
         t0 = time.time()
         parent = self.current()
         bset = sorted({str(b) for b in buckets})
-        before = self._bucket_files(bucket_col)
-        self._write_append(
+        before = self._bucket_files(bucket_col)  # legacy-manifest backfill only
+        moved = self._write_append_tracked(
             df.where(F.col(bucket_col).cast("string").isin(bset)), bucket_col
         )
-        after = self._bucket_files(bucket_col)
-        new_files = {
-            b: sorted(after.get(b, set()) - before.get(b, set())) for b in bset
-        }
+        new_files = {b: moved.get(b, []) for b in bset}
         rows = {
             b: self._footer_rows(
                 os.path.join(self.data_dir, f"{bucket_col}={b}"), set(fs)
@@ -453,18 +451,16 @@ class SnapshotTable:
         parent = self.current()
         bset = sorted({str(b) for b in buckets})
         bstr = F.col(bucket_col).cast("string")
-        before = self._bucket_files(bucket_col, self.delta_dir)
-        self._write_append(df.where(bstr.isin(bset)), bucket_col, self.delta_dir)
-        after = self._bucket_files(bucket_col, self.delta_dir)
-        new_files = {
-            b: sorted(after.get(b, set()) - before.get(b, set())) for b in bset
-        }
-        self._check_no_null_buckets(
-            {b: after.get(b, set()) - before.get(b, set()) for b in after}
+        # null-SAFE filter: a NULL bucket fails isin with NULL and `where`
+        # would silently drop the mutation — keep such rows so they land in
+        # the Hive default partition and fail the pre-publish check instead.
+        moved = self._write_append_tracked(
+            df.where(bstr.isin(bset) | bstr.isNull()), bucket_col, self.delta_dir
         )
+        self._check_no_null_buckets(moved)
+        new_files = {b: moved.get(b, []) for b in bset}
         wall = time.time() - t0
         bucket_type = df.schema[bucket_col].dataType.simpleString()
-        data_before = self._bucket_files(bucket_col)
         compacted: dict[str, list[str]] = {}
         compact_rows: dict[str, int] = {}
         orig_entries = self._bucket_entries(parent, bset)
@@ -509,7 +505,7 @@ class SnapshotTable:
             }
             to_compact = [b for b in bset if len(done_d.get(b, [])) >= compact_threshold]
             if to_compact:
-                self._compact_into(spark, manifest, to_compact, data_before, compacted, compact_rows)
+                self._compact_into(spark, manifest, to_compact, compacted, compact_rows)
             return manifest
 
         manifest = self._publish_retry(parent, build)
@@ -525,7 +521,6 @@ class SnapshotTable:
         spark: SparkSession,
         manifest: dict,
         buckets: list[str],
-        data_before: dict[str, set[str]],
         compacted: dict[str, list[str]],
         compact_rows: dict[str, int],
     ) -> None:
@@ -536,10 +531,9 @@ class SnapshotTable:
         bucket_col = manifest["bucket_col"]
         if not compacted:
             merged = self._merged_state(spark, manifest, restrict=buckets)
-            self._write_append(merged, bucket_col)
-            data_after = self._bucket_files(bucket_col)
+            moved = self._write_append_tracked(merged, bucket_col)
             for b in buckets:
-                compacted[b] = sorted(data_after.get(b, set()) - data_before.get(b, set()))
+                compacted[b] = moved.get(b, [])
                 if compacted[b]:
                     compact_rows[b] = self._footer_rows(
                         os.path.join(self.data_dir, f"{bucket_col}={b}"), set(compacted[b])
@@ -666,7 +660,50 @@ class SnapshotTable:
                 if (b, f) not in live_delta:
                     os.remove(os.path.join(self.delta_dir, f"{bucket_col}={b}", f))
                     removed += 1
+        # staging residue from writers that crashed mid-move (vacuum, like
+        # Iceberg maintenance, must not run concurrently with writers)
+        for d in os.listdir(self.path):
+            if d.startswith(".stage-"):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return removed
+
+    def _write_append_tracked(
+        self, batch: DataFrame, bucket_col: str, target: str | None = None
+    ) -> dict[str, list[str]]:
+        """Append via a writer-PRIVATE staging dir, then move the files into
+        place — returns EXACTLY this job's file names per bucket. The plain
+        after-minus-before listing diff can swallow a CONCURRENT writer's
+        not-yet-published files landing between the two listings; claimed by
+        this manifest, they would resurrect the loser's aborted rows.
+        ``commit`` detects that case by whole-bucket file-set comparison
+        (disjoint-bucket writers), but overwrite/delta/compaction write INTO
+        buckets a concurrent writer may also touch, so they must track
+        their own output exactly. The move is O(this job's files) driver
+        renames — bounded by touched buckets × reducers for upserts (commit,
+        the table-scale path, keeps the in-place task-side commit). Writer
+        file names embed a job-unique UUID, so moves never collide; a crash
+        mid-move leaves unreferenced files (invisible; vacuum collects) and
+        stage residue dirs (vacuum removes those too)."""
+        target = target or self.data_dir
+        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        prefix = f"{bucket_col}="
+        moved: dict[str, list[str]] = {}
+        try:
+            self._write_append(batch, bucket_col, stage)
+            if os.path.isdir(stage):
+                for d in os.listdir(stage):
+                    if not d.startswith(prefix):
+                        continue
+                    os.makedirs(os.path.join(target, d), exist_ok=True)
+                    for fn in os.listdir(os.path.join(stage, d)):
+                        if fn.endswith(".parquet"):
+                            os.rename(
+                                os.path.join(stage, d, fn), os.path.join(target, d, fn)
+                            )
+                            moved.setdefault(d[len(prefix):], []).append(fn)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return {b: sorted(fs) for b, fs in moved.items()}
 
     def _write_append(self, batch: DataFrame, bucket_col: str, target: str | None = None) -> None:
         """Append-only partitioned parquet write, shuffled on

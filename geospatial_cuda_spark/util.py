@@ -29,6 +29,16 @@ def splitmix64_scalar(i: int) -> int:
     return int(splitmix64(np.array([i], dtype=np.uint64))[0])
 
 
+def round_half_away(x: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """Round half AWAY from zero — the semantics of DuckDB ``round()`` and
+    Spark ``F.round`` (HALF_UP). ``np.round`` is half-to-EVEN and diverges
+    from both engines when a value lands exactly on a representable .5
+    boundary, so every Arrow kernel whose output crosses the oracle gate
+    must round through this instead."""
+    s = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
+
+
 def hash2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Deterministic 64-bit mix of two uint64 streams."""
     a = np.asarray(a).astype(np.uint64)

@@ -143,3 +143,27 @@ def test_validate_cells_detects_corruption(spark, small_points_df):
     t = QT.validate_cells(small_points_df, tweaked, max_depth=8).first()
     assert t["n_count_mismatch"] > 0 and t["n_unclaimed"] == 0
     cells.unpersist()
+
+
+def test_validate_cells_multi_claim_does_not_cancel_unclaimed(spark):
+    """Review repro: a point claimed by TWO overlapping leaves must NOT
+    cancel out another point claimed by none — multi-claim and unclaimed
+    are counted per point, not per (point, leaf) pair."""
+    from pyspark.sql import functions as F
+
+    from geospatial_cuda_spark.functions import cells as C
+    from geospatial_cuda_spark.operators import quadtree as QT
+
+    pts = spark.createDataFrame(
+        [(100.0, 100.0), (900000.0, 900000.0)], "x float, y float"
+    )
+    fid_a = int(C.encode_cell_ids(np.float32([100.0]), np.float32([100.0]), 2)[0])
+    # leaves: point A's depth-2 cell AND its depth-1 parent (overlap!);
+    # point B gets NO leaf at all
+    rows = [(fid_a, 2, 1, True), ((fid_a - 1) // 4, 1, 1, True)]
+    cells = spark.createDataFrame(
+        rows, "cell_id long, depth int, count long, is_leaf boolean"
+    )
+    v = QT.validate_cells(pts, cells, max_depth=2).first()
+    assert v["n_multi_claimed"] == 1, v
+    assert v["n_unclaimed"] == 1, v  # B missing — not masked by A's double claim

@@ -108,6 +108,9 @@ def test_cells_cache_lru_evicts_and_unpersists(spark, monkeypatch):
     df2 = E._cells(spark, "/root/testdata/sf0.01")
     assert len(E._CELLS_CACHE) == 1
     assert not df1.storageLevel.useMemory  # evicted entry unpersisted
+    # the build's INTERNAL counts persist is released too (review finding:
+    # leaving it cached leaked executor storage per rebuild)
+    assert all(not d.storageLevel.useMemory for d in df1._graft_persists)
     assert df2.storageLevel.useMemory
     # re-request of the evicted dataset rebuilds (cache miss, no stale entry)
     df1b = E._cells(spark, "/root/testdata/sf0.001")

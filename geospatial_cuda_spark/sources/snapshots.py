@@ -230,7 +230,14 @@ class SnapshotTable:
         Concurrency: publish is CAS'd. A concurrent snapshot over DISJOINT
         buckets is merged transparently; one that committed any bucket this
         call wrote raises SnapshotConflictError (nothing is dropped either
-        way)."""
+        way). Residual contract: commit keeps the in-place task-side write
+        (no staging renames — this is the table-scale bulk path), so its
+        listing diff attributes files by bucket, not by job; two commits
+        racing on the SAME bucket where the loser's write lands inside the
+        winner's listing window can leave the winner referencing the
+        loser's files. Bulk loads are single-writer-per-bucket by contract;
+        the concurrent-upsert paths (overwrite/deltas/compaction) track
+        their exact output via staged moves and have no such window."""
         spark = df.sparkSession
         t0 = time.time()
         parent = self.current()

@@ -333,7 +333,12 @@ def ann_ivf(
             for d in range(dim):
                 dot += m[:, d:d + 1] * cents[None, :, d]
                 mn += m[:, d] * m[:, d]
-            mn = np.sqrt(mn)
+            # clamp: a zero/underflowed-norm vector would yield NaN/inf sims
+            # (numpy warns per batch; NaN sorts LAST here but FIRST under
+            # DuckDB's ORDER BY DESC). Zero-norm embeddings are outside the
+            # oracle contract; the clamp keeps the kernel total and its
+            # tie-break deterministic.
+            mn = np.maximum(np.sqrt(mn), 1e-12)
             # dot(v, c) / (|v|·|c|) rounded half-away (DuckDB/Spark round
             # semantics); stable argsort on the rounded value breaks ties
             # by ascending centroid index — bit-matches the oracle's

@@ -338,7 +338,11 @@ def validate_cells(
         .select(
             "n_points",
             F.coalesce(F.col("leaf_count_sum"), F.lit(0)).alias("leaf_count_sum"),
-            (F.col("n_points") - F.col("_n_claimed")).alias("n_unclaimed"),
+            # coalesce: zero claims (no leaves at all) sums to NULL, and
+            # n_points - NULL would report the worst corruption as NULL
+            (F.col("n_points") - F.coalesce(F.col("_n_claimed"), F.lit(0))).alias(
+                "n_unclaimed"
+            ),
             F.coalesce(F.col("n_multi_claimed"), F.lit(0)).alias("n_multi_claimed"),
             F.coalesce(F.col("n_count_mismatch"), F.lit(0)).alias("n_count_mismatch"),
         )

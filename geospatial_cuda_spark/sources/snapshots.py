@@ -378,10 +378,13 @@ class SnapshotTable:
         t0 = time.time()
         parent = self.current()
         bset = sorted({str(b) for b in buckets})
-        before = self._bucket_files(bucket_col)  # legacy-manifest backfill only
+        bstr = F.col(bucket_col).cast("string")
+        # null-SAFE filter + fail-fast, as commit/append_deltas: NULL-bucket
+        # survivors would otherwise be silently dropped by isin's 3VL
         moved = self._write_append_tracked(
-            df.where(F.col(bucket_col).cast("string").isin(bset)), bucket_col
+            df.where(bstr.isin(bset) | bstr.isNull()), bucket_col
         )
+        self._check_no_null_buckets(moved)
         new_files = {b: moved.get(b, []) for b in bset}
         rows = {
             b: self._footer_rows(
@@ -401,7 +404,10 @@ class SnapshotTable:
                     "recompute the survivors from the new current state"
                 )
             done_b = dict(p["buckets"]) if p else {}
-            done_f = self._parent_files(p, before)
+            # lazy legacy backfill: the O(#buckets) directory listing is
+            # only needed when the parent manifest predates file lists
+            disk = {} if (p and "files" in p) else self._bucket_files(bucket_col)
+            done_f = self._parent_files(p, disk)
             done_d = dict(p.get("deltas", {})) if p else {}
             new_buckets = {b: n for b, n in done_b.items() if b not in bset}
             new_buckets.update(rows)
@@ -478,7 +484,10 @@ class SnapshotTable:
                     "touched buckets changed under a concurrent snapshot"
                 )
             done_b = dict(p["buckets"]) if p else {}
-            done_f = self._parent_files(p, self._bucket_files(bucket_col))
+            # lazy legacy backfill: the O(#buckets) directory listing is
+            # only needed when the parent manifest predates file lists
+            disk = {} if (p and "files" in p) else self._bucket_files(bucket_col)
+            done_f = self._parent_files(p, disk)
             done_d = {b: [list(e) for e in v] for b, v in (dict(p.get("deltas", {})) if p else {}).items()}
             seq = (p["version"] + 1) if p else 1
             for b in bset:

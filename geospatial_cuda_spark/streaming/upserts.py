@@ -117,4 +117,13 @@ class PointTableStream:
         return writer.start()
 
     def cells(self) -> DataFrame:
-        return QT.build_cells(self.read_points(), max_depth=self.max_depth)
+        """Fresh cells relation over the committed points. Each build pins an
+        internal counts persist; the previous call's is released here so a
+        long-lived stream polling cells() does not accumulate executor
+        storage (review finding — the leak the index-cache LRU fixed for the
+        batch entrypoints)."""
+        cells = QT.build_cells(self.read_points(), max_depth=self.max_depth)
+        for dep in getattr(self, "_prev_cells_persists", []):
+            dep.unpersist()
+        self._prev_cells_persists = getattr(cells, "_graft_persists", [])
+        return cells

@@ -30,11 +30,16 @@ def splitmix64_scalar(i: int) -> int:
 
 
 def round_half_away(x: np.ndarray, decimals: int = 6) -> np.ndarray:
-    """Round half AWAY from zero — the semantics of DuckDB ``round()`` and
-    Spark ``F.round`` (HALF_UP). ``np.round`` is half-to-EVEN and diverges
-    from both engines when a value lands exactly on a representable .5
-    boundary, so every Arrow kernel whose output crosses the oracle gate
-    must round through this instead."""
+    """Round half AWAY from zero on the BINARY double value — DuckDB
+    ``round()`` semantics, which is what the oracle gate compares against.
+    ``np.round`` is half-to-EVEN and diverges on representable .5
+    boundaries, so every Arrow kernel whose output crosses the oracle gate
+    rounds through this instead. (Spark ``F.round`` is close but not
+    identical: it applies HALF_UP to the SHORTEST-DECIMAL representation
+    via BigDecimal, which can differ from binary-value rounding when the
+    shortest repr ends in 5 while the binary value sits just below the
+    boundary — the JVM-side queries using F.round rely on DuckDB agreeing
+    on the actual fixture values, which the hash gate verifies.)"""
     s = 10.0 ** decimals
     return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
 

@@ -110,3 +110,24 @@ def test_simhash_nibble_blocking_complete(a, b):
     shares = any(((a >> (4 * n)) & 0xF) == ((b >> (4 * n)) & 0xF) for n in range(4))
     if hamming <= 3:
         assert shares
+
+
+@given(st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False), min_size=1, max_size=200))
+@settings(max_examples=30, deadline=None)
+def test_round_half_away_matches_duckdb(vals):
+    """round_half_away is the Arrow kernels' oracle-boundary rounding: it
+    must agree with DuckDB round(x, 6) bit-for-bit on arbitrary doubles in
+    the cosine range (including exact .5e-6 boundaries, where np.round's
+    half-even diverges)."""
+    import duckdb
+
+    from geospatial_cuda_spark.util import round_half_away
+
+    # salt in exact boundary cases alongside the random draws
+    xs = np.array(vals + [0.1234565, -0.1234565, 0.0000005, -0.0000005, 0.5e-6 * 3])
+    got = round_half_away(xs, 6)
+    con = duckdb.connect()
+    want = np.array(
+        [con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [float(v)]).fetchone()[0] for v in xs]
+    )
+    assert np.array_equal(got, want), (xs[got != want], got[got != want], want[got != want])

@@ -177,7 +177,18 @@ def run_images_pipeline(spark, images_path: str, out_dir: str, warm: bool = True
     }
 
 
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
+
+
 def run_queries(spark) -> dict[str, float]:
+    """Per-query timings with the same discipline as the scaling bench:
+    one untimed warmup pass (pays Janino codegen + Python-worker imports per
+    query shape), then QUERY_REPS timed passes in interleaved round-robin
+    order (q1..qN, q1..qN, ...), reporting the BEST time per query. The host
+    is overcommitted with time-varying spare capacity; interleaving spreads
+    any weather across all queries and best-of-N under one-sided noise
+    estimates true plan cost rather than host load (round-3 single-run
+    numbers drifted +10-26% on unchanged plans — protocol, not plan)."""
     import __spark_entry__ as E
 
     names = [
@@ -201,22 +212,30 @@ def run_queries(spark) -> dict[str, float]:
         "quality_scores",
     ]
     qs = E.queries()
-    out: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        out[name] = round(time.time() - t0, 3)
-        _ = n
-    return out
+    for name in names:  # untimed warmup pass
+        qs[name](spark, SF_DIR).count()
+    best: dict[str, float] = {}
+    for _ in range(QUERY_REPS):
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            dt = round(time.time() - t0, 3)
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    return best
 
 
 def main_single() -> None:
     spark = get_session()
     images_path = ensure_images(spark, N_IMAGES.get(sf_name(), 20_000))
-    pipe = run_images_pipeline(
-        spark, images_path, os.path.join(CACHE_ROOT, f"out_{sf_name()}_{CPUS}")
-    )
+    out_dir = os.path.join(CACHE_ROOT, f"out_{sf_name()}_{CPUS}")
+    # Headline throughput: warm once, then best-of-N (same one-sided-noise
+    # protocol as the per-query timings and the scaling bench).
+    pipe = run_images_pipeline(spark, images_path, out_dir, warm=True)
+    for _ in range(max(0, QUERY_REPS - 1)):
+        rerun = run_images_pipeline(spark, images_path, out_dir, warm=False)
+        if rerun["images_per_sec"] > pipe["images_per_sec"]:
+            pipe = rerun
     queries = run_queries(spark)
     queries["images_pipeline"] = pipe["wall_sec"]
     print(

@@ -1251,14 +1251,17 @@ SELECT doc_id, quality, n_tok, n_chr FROM q WHERE quality >= {CORPUS_QUALITY_MIN
 
     # winnowing (MOSS): k=5 char-gram md5 hashes in position order, window
     # w=4 minima over FULL windows (single clipped window for short docs),
-    # distinct selected set per doc. Fixed series bound 1024 > max doc
-    # length at every fixture scale (<= 577 chars).
+    # distinct selected set per doc. Positions come from a PER-ROW
+    # generate_series list (length-derived) — a fixed cross-join bound would
+    # silently truncate the shingle set if a future fixture grew past it
+    # (ADVICE r3).
     sqls["winnow_fingerprints"] = r"""
-WITH sh AS (
-  SELECT doc_id, g.i AS i, md5(substr(lower(text), g.i, 5)) AS h,
-         GREATEST(length(text) - 4, 1) AS npos
-  FROM documents, generate_series(1, 1024) AS g(i)
-  WHERE doc_id < 200 AND g.i <= GREATEST(length(text) - 4, 1)),
+WITH pos AS (
+  SELECT doc_id, lower(text) AS lt,
+         GREATEST(length(text) - 4, 1) AS npos,
+         unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i
+  FROM documents WHERE doc_id < 200),
+sh AS (SELECT doc_id, i, npos, md5(substr(lt, i, 5)) AS h FROM pos),
 m AS (SELECT doc_id, i, npos,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY i
                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn

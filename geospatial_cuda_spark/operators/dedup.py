@@ -12,11 +12,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.text import fingerprint_col, shingles_expr
-from ..functions.vectors import cosine_col
-from ..util import round_half_away, splitmix64
+from ..functions.vectors import pair_cosine_rounded
+from ..util import splitmix64
 
 LSH_SEED = 0x5EEDED
 
@@ -335,33 +335,19 @@ def embedding_near_dups_lsh(
     va = embeddings.select(F.col(vec_id).alias("a"), F.col(emb).alias("_va"))
     vb = embeddings.select(F.col(vec_id).alias("b"), F.col(emb).alias("_vb"))
 
-    # Scoring is ONE Arrow kernel over the joined pair arrays, accumulating
-    # dot and norms per element index in order — the identical left-assoc
-    # double summation as the SQL oracle's list_dot_product rendering, so
-    # hash-parity holds. The unrolled Column form (dot_col_fixed) evaluates
-    # just as fast once compiled, but its ~3·dim-term expression tree costs
-    # ~1.5 s of Janino compile on EVERY fresh plan — a fixed tax one-shot
-    # queries (and the bench) pay in full; the kernel's plan compiles in ms
-    # and the Arrow transfer is bounded at 2·dim floats per candidate pair.
-    @F.pandas_udf(DoubleType())
-    def _pair_sim(xa: pd.Series, xb: pd.Series) -> pd.Series:
-        a = np.stack(xa.to_numpy()).astype(np.float64)
-        b = np.stack(xb.to_numpy()).astype(np.float64)
-        dot = np.zeros(len(a))
-        na = np.zeros(len(a))
-        nb = np.zeros(len(a))
-        for d in range(a.shape[1]):
-            dot += a[:, d] * b[:, d]
-            na += a[:, d] * a[:, d]
-            nb += b[:, d] * b[:, d]
-        # half-AWAY rounding (DuckDB round / Spark F.round); np.round's
-        # half-even would diverge on exact .5e-6 boundaries
-        return pd.Series(round_half_away(dot / (np.sqrt(na) * np.sqrt(nb)), 6))
-
+    # Scoring is ONE Arrow kernel over the joined pair arrays — the shared
+    # pair_cosine_rounded kernel (vectors.py): left-assoc double summation
+    # identical to the SQL oracle's list_dot_product fold, round_half_away
+    # (DuckDB round) output, so hash-parity holds. The unrolled Column form
+    # (dot_col_fixed) evaluates just as fast once compiled, but its
+    # ~3·dim-term expression tree costs ~1.5 s of Janino compile on EVERY
+    # fresh plan — a fixed tax one-shot queries (and the bench) pay in full;
+    # the kernel's plan compiles in ms and the Arrow transfer is bounded at
+    # 2·dim floats per candidate pair.
     return (
         cand.join(va, on="a")
         .join(vb, on="b")
-        .withColumn("sim", _pair_sim(F.col("_va"), F.col("_vb")))
+        .withColumn("sim", pair_cosine_rounded(F.col("_va"), F.col("_vb")))
         .where(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
@@ -386,7 +372,7 @@ def embedding_near_dups(
     return (
         a.join(b, on=block)
         .where(F.col("a") < F.col("b"))
-        .withColumn("sim", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .withColumn("sim", pair_cosine_rounded(F.col("va"), F.col("vb")))
         .where(F.col("sim") >= threshold)
         .select(block, "a", "b", "sim")
     )

@@ -29,7 +29,7 @@ from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from .. import MAX_DEPTH
 from ..functions import cells as C
-from ..functions.vectors import cosine_col
+from ..functions.vectors import pair_cosine_rounded
 from .quadtree import ancestor_col
 
 
@@ -247,12 +247,15 @@ def ann_bruteforce(
     emb: str = "embedding",
     qid: str = "q_vec_id",
 ) -> DataFrame:
-    """Exact top-k cosine: broadcast queries, JVM-side dot/norm, window top-k.
-    Output sim is rounded to 6 dp; ranking uses the rounded value with vec_id
-    tie-break so results are reproducible across engines."""
+    """Exact top-k cosine: broadcast queries, Arrow pair-scoring kernel,
+    window top-k. Output sim is rounded to 6 dp through the shared
+    ``pair_cosine_rounded`` kernel (DuckDB binary half-away semantics —
+    F.round's shortest-decimal HALF_UP can flip knife-edge values, ADVICE
+    r3); ranking uses the rounded value with vec_id tie-break so results are
+    reproducible across engines."""
     q = F.broadcast(query_vecs.select(F.col(vec_id).alias(qid), F.col(emb).alias("_qv")))
     joined = embeddings.crossJoin(q).where(F.col(vec_id) != F.col(qid))
-    sim = F.round(cosine_col(F.col(emb), F.col("_qv")), 6)
+    sim = pair_cosine_rounded(F.col(emb), F.col("_qv"))
     w = Window.partitionBy(qid).orderBy(F.col("sim").desc(), F.col(vec_id).asc())
     return (
         joined.withColumn("sim", sim)
@@ -358,7 +361,9 @@ def ann_ivf(
         F.explode(_bucket_udf(n_probe)(F.col(emb))).alias("_bucket"),
     )
     joined = tagged.join(probes, on="_bucket").where(F.col(vec_id) != F.col(qid))
-    sim = F.round(cosine_col(F.col(emb), F.col("_qv")), 6)
+    # final scoring through the SAME rounding regime as bucket assignment
+    # (round_half_away) — mixing F.round here was a latent hash-gate flake
+    sim = pair_cosine_rounded(F.col(emb), F.col("_qv"))
     w = Window.partitionBy(qid).orderBy(F.col("sim").desc(), F.col(vec_id).asc())
     return (
         joined.withColumn("sim", sim)

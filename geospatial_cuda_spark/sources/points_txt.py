@@ -27,9 +27,17 @@ def read_points_txt(
     audit is needed. Coordinates are float32, the reference's Point type.
 
     ``with_pid`` assigns line-ordered ids the way the reference's
-    ``emplace_back`` order does: monotonically_increasing_id embeds
-    (partition, row-in-partition), and for a file scan partitions are the
-    file's splits in offset order, so ranking by it reproduces file order.
+    ``emplace_back`` order does, ranking by (input_file_name, scan order).
+    Why both keys: monotonically_increasing_id embeds (partition,
+    row-in-partition), but FileSourceScan packs splits sorted by size
+    DESCENDING — so partition index alone does not follow concatenated line
+    order across multiple files or unequal splits. WITHIN one file the scan
+    order is still offset order (equal-size splits of a file keep their
+    relative order under the stable size sort, and the smaller tail split
+    sorts after them), so keying by file name first yields: exact file order
+    for a single file (the reference's case), and per-file line order with
+    files in NAME order for a directory/glob — documented, deterministic,
+    but not byte-concatenation order if names are unsorted.
     The rank is a GLOBAL ordering pass (fine at reference input sizes; ids
     are not in the file format, so at corpus scale pass ``with_pid=False``
     for pure value semantics — the reference never persists ids either,
@@ -43,6 +51,7 @@ def read_points_txt(
         parts.getItem(0).try_cast("float").alias("x"),
         parts.getItem(1).try_cast("float").alias("y"),
         F.size(parts).alias("_nf"),
+        F.input_file_name().alias("_file"),
         F.monotonically_increasing_id().alias("_ord"),
     ).where(
         (F.col("_nf") >= 2) & F.col("x").isNotNull() & F.col("y").isNotNull()
@@ -51,7 +60,7 @@ def read_points_txt(
         return df.select("x", "y")
     from pyspark.sql import Window
 
-    w = Window.orderBy("_ord")
+    w = Window.orderBy("_file", "_ord")
     return df.select(
         (F.row_number().over(w) - 1).cast("long").alias("pid"), "x", "y"
     )

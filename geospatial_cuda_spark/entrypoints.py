@@ -1641,7 +1641,86 @@ SELECT 'a' || CAST(key AS VARCHAR) AS clip_id,
 FROM w GROUP BY key
 """
 
+    # snapshot_lineage: the sink's manifest semantics re-derived relationally.
+    # The Spark side COMMITS the bucketed customer relation (v1), appends one
+    # merge-on-read delta batch (equality-deletes of custkey%13 keys, inserts
+    # of custkey%29 keys shifted by 1e6 — bucket-preserving since 1e6 % 8 = 0),
+    # then reports per bucket: the v1 manifest row count (lineage), the
+    # pending delta-batch count, the published version, and the MERGED
+    # read-back count + exact integer-cents sum. The oracle recomputes all of
+    # it from the raw table: any lineage miscount, delta misfold, or
+    # lost/resurrected row hash-mismatches.
+    sqls["snapshot_lineage"] = """
+WITH c AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         CAST(c_custkey % 8 AS VARCHAR) AS bucket
+  FROM customer),
+base AS (SELECT bucket, COUNT(*) AS n_base FROM c GROUP BY bucket),
+tb AS (SELECT bucket,
+              CAST(MAX(CASE WHEN c_custkey % 13 = 0 OR c_custkey % 29 = 0
+                            THEN 1 ELSE 0 END) AS INT) AS n_batches
+       FROM c GROUP BY bucket),
+surv AS (
+  SELECT bucket, cents FROM c WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT bucket, cents FROM c WHERE c_custkey % 29 = 0)
+SELECT b.bucket, b.n_base, tb.n_batches, 2 AS version,
+       COUNT(*) AS n_rows, CAST(SUM(s.cents) AS BIGINT) AS cents_sum
+FROM base b JOIN tb USING (bucket) JOIN surv s USING (bucket)
+GROUP BY b.bucket, b.n_base, tb.n_batches
+"""
+
     return sqls
+
+
+def q_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 sink under the driver's hash gate (VERDICT r3 item 8): snapshot
+    commit → merge-on-read delta append → lineage + merged read-back, all
+    re-derived independently by the SQL oracle. Exercises the manifest
+    protocol end to end: bucketed staged commit, per-bucket lineage counts,
+    delta fold (insert-if-missing + equality-delete), version chain."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "geospark_lineage",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snap = SnapshotTable(root)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.pmod(F.col("c_custkey"), F.lit(8)).cast("string").alias("bucket"),
+    )
+    snap.commit(cust, "bucket")
+    v1 = snap.current()["buckets"]
+    delta = (
+        cust.where(F.col("c_custkey") % 13 == 0)
+        .withColumn("_op", F.lit("d"))
+        .unionByName(
+            cust.where(F.col("c_custkey") % 29 == 0)
+            .withColumn("c_custkey", F.col("c_custkey") + 1_000_000)
+            .withColumn("_op", F.lit("i"))
+        )
+    )
+    snap.append_deltas(delta, "bucket", None, key_cols=["c_custkey"])
+    m = snap.current()
+    lineage = spark.createDataFrame(
+        [
+            (b, int(v1[b]), len(m.get("deltas", {}).get(b, [])), int(m["version"]))
+            for b in sorted(v1)
+        ],
+        "bucket string, n_base long, n_batches int, version int",
+    )
+    merged = snap.read(spark).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("cents_sum")
+    )
+    return lineage.join(merged, on="bucket")
 
 
 # ---------------------------------------------------------------------------
@@ -1691,6 +1770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
+    "snapshot_lineage": q_snapshot_lineage,
 }
 
 ORACLES: dict[str, str] = _oracle_sqls()

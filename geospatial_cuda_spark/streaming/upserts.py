@@ -82,26 +82,20 @@ class PointTableStream:
         operators/mutations.{insert,delete}_points are applied at read time
         by SnapshotTable's sequence-ordered fold (and baked in at
         compaction), so the visible state matches the eager copy-on-write
-        path row-for-row."""
-        batch = self._with_bucket(batch).persist()
-        try:
-            touched = sorted(
-                r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()
-            )
-            if not touched:
-                return
-            delta = batch.select(
-                "pid", "x", "y", BUCKET_COL, F.col("qtype").alias("_op")
-            )
-            self.table.append_deltas(
-                delta,
-                BUCKET_COL,
-                [str(b) for b in touched],
-                key_cols=["x", "y"],
-                compact_threshold=self.compact_threshold,
-            )
-        finally:
-            batch.unpersist()
+        path row-for-row. The touched-bucket set is derived task-side from
+        the staged write's own per-bucket output (``buckets=None``) — no
+        ``distinct().collect()`` driver round-trip per micro-batch, and the
+        batch plan is computed exactly once (no persist needed)."""
+        delta = self._with_bucket(batch).select(
+            "pid", "x", "y", BUCKET_COL, F.col("qtype").alias("_op")
+        )
+        self.table.append_deltas(
+            delta,
+            BUCKET_COL,
+            None,
+            key_cols=["x", "y"],
+            compact_threshold=self.compact_threshold,
+        )
 
     def start(self, source_dir: str, available_now: bool = True):
         stream = (

@@ -503,6 +503,36 @@ def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# polygon-relation PIP fixture: 120 deterministic rects derived from the id
+# by pure integer arithmetic (exact in Spark, the float64 kernel, and SQL)
+PIP_JOIN_POLYS = 120
+
+
+def q_pip_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 at relation scale (VERDICT r3 item 3): polygons as a DATAFRAME —
+    grid-blocking equi-join + cogrouped Arrow ray-cast, no polygon data in
+    any task closure. 120 rects (SQL-expressible as inclusive bboxes);
+    salt=4 exercises the hot-polygon split (results provably identical —
+    same hash gate)."""
+    polys = spark.range(PIP_JOIN_POLYS).select(
+        F.col("id").alias("poly_id"),
+        F.expr(
+            "transform(array(0, 1, 1, 0), i -> CAST((id * 9176) % 900000 "
+            "+ i * (20000 + (id % 7) * 11000) AS DOUBLE))"
+        ).alias("xs"),
+        F.expr(
+            "transform(array(0, 0, 1, 1), i -> CAST((id * 5923) % 900000 "
+            "+ i * (15000 + (id % 5) * 13000) AS DOUBLE))"
+        ).alias("ys"),
+    )
+    hit = P.point_in_polygons_join(
+        _points(spark, sf_dir), polys, block_depth=4, salt=4
+    )
+    return hit.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid")
+    )
+
+
 MUT_INSERTS = [(-101, 9981.0, 9979.0), (-102, 123457.0, 654321.0), (-103, 1.0, 999999.0)]
 MUT_DELETES_FIXED = [(9981.0, 9979.0), (100.0, 100.0)]  # inserted point + absent point
 MUT_DEL_MOD = 997
@@ -1185,6 +1215,22 @@ SELECT cell_id, n_points FROM (
         "FROM pts WHERE " + " AND ".join(halfplanes) + " HAVING COUNT(*) > 0"
     )
 
+    # pip_polygon_join: same 120 id-derived rects; the relational blocking
+    # join + cogrouped kernel must equal plain inclusive bbox containment
+    sqls["pip_polygon_join"] = f"""
+WITH pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),
+r AS (SELECT CAST(i AS BIGINT) AS poly_id,
+             CAST((i * 9176) % 900000 AS DOUBLE) AS x1,
+             CAST((i * 5923) % 900000 AS DOUBLE) AS y1,
+             CAST((i * 9176) % 900000 + 20000 + (i % 7) * 11000 AS DOUBLE) AS x2,
+             CAST((i * 5923) % 900000 + 15000 + (i % 5) * 13000 AS DOUBLE) AS y2
+      FROM generate_series(0, {PIP_JOIN_POLYS - 1}) AS t(i))
+SELECT r.poly_id, COUNT(*) AS n_points, MIN(p.pid) AS min_pid
+FROM pts p JOIN r
+  ON p.x >= r.x1 AND p.x <= r.x2 AND p.y >= r.y1 AND p.y <= r.y2
+GROUP BY r.poly_id
+"""
+
     sqls["token_counts"] = r"""
 SELECT doc_id,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1745,6 +1791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "density_topk": q_density_topk,
     "pip_rects": q_pip_rects,
     "pip_convex": q_pip_convex,
+    "pip_polygon_join": q_pip_polygon_join,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,

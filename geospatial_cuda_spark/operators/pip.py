@@ -1,12 +1,22 @@
 """Point-in-polygon join (J3 — north-rule extension; the reference supports
 only axis-aligned rect containment, cuda/kernels.cu:152-155).
 
-Shape: polygons are the SMALL side — their vertex arrays ship to every task
-inside the Arrow-kernel closure (the DataFrame-level equivalent of a
-broadcast join against an opaque geometry set), and each Arrow batch of
-points is tested against all polygons in vectorized numpy. A cell-bbox
-prefilter (optional) prunes points that cannot hit any polygon before the
-kernel runs, reusing the J1 machinery's bbox arithmetic JVM-side.
+Two shapes, chosen by polygon-set size:
+
+- ``point_in_polygons`` — polygons are the SMALL side: their vertex arrays
+  ship to every task inside the Arrow-kernel closure (the DataFrame-level
+  equivalent of a broadcast join against an opaque geometry set), and each
+  Arrow batch of points is tested against all polygons in vectorized numpy.
+  Right for O(10²-10³) modest polygons; beyond that the closure bloats and
+  the per-batch Python loop is O(P).
+- ``point_in_polygons_join`` — polygons are a RELATION (VERDICT r3 item 3):
+  a JVM-side grid-blocking equi-join (each polygon explodes to the coarse
+  cells its bbox overlaps, each point hashes to its one cell — the J1
+  blocking idea) prunes candidate pairs, then a cogrouped Arrow kernel
+  scores each (polygon × its candidate points) group; vertices cross the
+  JVM↔Python boundary once per group, never per candidate row, and no
+  polygon data ever rides the driver or a task closure. ``salt`` splits a
+  hot polygon's candidates across tasks (skew mitigation).
 """
 
 from __future__ import annotations
@@ -32,6 +42,107 @@ def point_in_polygons(
     array-valued projection instead)."""
     df = points.withColumn("_polys", containing_polys_col(polygons, F.col(x), F.col(y), prefilter))
     return df.select("*", F.explode("_polys").alias(out)).drop("_polys")
+
+
+def point_in_polygons_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    block_depth: int = 4,
+    extent: float = 1_000_000.0,
+    salt: int | None = None,
+    x: str = "x",
+    y: str = "y",
+    poly_id: str = "poly_id",
+    xs: str = "xs",
+    ys: str = "ys",
+) -> DataFrame:
+    """Inner PIP join against a polygon RELATION ``(poly_id, xs, ys)`` with
+    vertex arrays as columns — for polygon sets too large/heavy for a task
+    closure. Returns every ``points`` row × the id of each containing
+    polygon.
+
+    Plan shape (all pre-kernel work JVM-side):
+    1. bbox per polygon (``array_min/max`` in codegen) + explode to the
+       ``2^block_depth``-grid cells the bbox overlaps;
+    2. points hash to their single grid cell — equi-join on (cx, cy) is the
+       blocking step (each candidate pair arises at most once: a point has
+       exactly one cell), then the exact bbox containment filter prunes
+       JVM-side before any Python;
+    3. cogrouped Arrow scoring: candidates grouped by (poly_id, salt) meet
+       the polygon's vertex row via ``cogroup.applyInPandas`` — vertices
+       transfer once per group (never per candidate row) and the ray-cast
+       kernel (``pip_mask``) runs vectorized per group.
+
+    ``salt`` (e.g. 8) splits a hot polygon's candidate stream across that
+    many tasks, duplicating only its vertex row; results are identical.
+    ``block_depth`` trades join fan-out (big cells → more false candidates)
+    against explode width (small cells → more cells per bbox); for city-to-
+    state-sized polygons over the 10⁶ extent, 4-6 is right."""
+    n = 1 << block_depth
+    step = float(extent) / n
+
+    def _cell(c):
+        return F.least(
+            F.lit(n - 1), F.greatest(F.lit(0), F.floor(c / F.lit(step)).cast("int"))
+        )
+
+    p = polygons.select(
+        F.col(poly_id).alias("_pid2"),
+        F.col(xs).alias("_xs"),
+        F.col(ys).alias("_ys"),
+        F.array_min(xs).alias("_xmin"),
+        F.array_max(xs).alias("_xmax"),
+        F.array_min(ys).alias("_ymin"),
+        F.array_max(ys).alias("_ymax"),
+    )
+    pcells = (
+        p.withColumn("_cx", F.explode(F.sequence(_cell(F.col("_xmin")), _cell(F.col("_xmax")))))
+        .withColumn("_cy", F.explode(F.sequence(_cell(F.col("_ymin")), _cell(F.col("_ymax")))))
+    )
+    pt_cols = list(points.columns)
+    pts = points.withColumn("_cx", _cell(F.col(x))).withColumn("_cy", _cell(F.col(y)))
+    cand = (
+        pts.join(pcells, on=["_cx", "_cy"])
+        .where(
+            (F.col(x) >= F.col("_xmin"))
+            & (F.col(x) <= F.col("_xmax"))
+            & (F.col(y) >= F.col("_ymin"))
+            & (F.col(y) <= F.col("_ymax"))
+        )
+        .withColumn(
+            "_salt2",
+            F.pmod(F.hash(F.col(x), F.col(y)), F.lit(salt)) if salt else F.lit(0),
+        )
+        .select(*pt_cols, F.col("_pid2").alias(poly_id), F.col("_salt2").alias("_salt"))
+    )
+    out_schema = cand.drop("_salt").schema
+    out_cols = [f.name for f in out_schema.fields]
+    # vertex side: ONE row per (polygon, salt slice) — the only duplication
+    # salting costs is this tiny side, never the candidate stream
+    verts_side = p.select(F.col("_pid2").alias(poly_id), "_xs", "_ys").withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))) if salt else F.lit(0),
+    )
+
+    def _score(cand_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty or poly_pdf.empty:
+            return cand_pdf.iloc[0:0][out_cols]
+        verts = np.column_stack(
+            [
+                np.asarray(poly_pdf["_xs"].iloc[0], dtype=np.float64),
+                np.asarray(poly_pdf["_ys"].iloc[0], dtype=np.float64),
+            ]
+        )
+        m = pip_mask(
+            cand_pdf[x].to_numpy(np.float64), cand_pdf[y].to_numpy(np.float64), verts
+        )
+        return cand_pdf.loc[m, out_cols]
+
+    return (
+        cand.groupBy(poly_id, "_salt")
+        .cogroup(verts_side.groupBy(poly_id, "_salt"))
+        .applyInPandas(_score, out_schema)
+    )
 
 
 def containing_polys_col(polygons: list[tuple[int, np.ndarray]], x, y, prefilter: bool = True):

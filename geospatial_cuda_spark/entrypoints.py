@@ -388,13 +388,15 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y", F.col("y").cast("double")
     )
     pts = _indexed_points(spark, sf_dir)
-    # depth 6 ≈ 150 points/cell at sf0.1: the radius-1 ring (9 cells) already
-    # carries >> k candidates, so round 1 is exact for nearly every query and
-    # the candidate join touches ~0.2% of the table per query — depth 3 cells
-    # are 64× coarser and made this the slowest contract query (ring join
-    # over ~16% of the points per query).
+    # depth DERIVED from density (choose_knn_depth): target ~30·k points per
+    # cell, so the radius-1 ring (9 cells) carries >> k candidates and round
+    # 1 is exact for nearly every query while the candidate join touches
+    # ~0.2% of the table per query. Reproduces the hand-tuned depth 6 at
+    # sf0.1 (150 pts/cell) and self-tunes at other scales — the count is
+    # one aggregate over the cached index relation.
+    depth = K.choose_knn_depth(pts.count(), k=5)
     res = K.knn_cells_exact(
-        as_double(_queries(spark, sf_dir, limit=10)), pts, k=5, depth=6, radius=1
+        as_double(_queries(spark, sf_dir, limit=10)), pts, k=5, depth=depth, radius=1
     )
     return res.select("qid", "pid", F.col("dist2").cast("long").alias("dist2"),
                       F.col("rank").cast("int").alias("rank"))

@@ -107,6 +107,32 @@ def knn_bruteforce(
     )
 
 
+def choose_knn_depth(
+    n_points: int,
+    k: int,
+    points_per_cell_per_k: int = 30,
+    max_depth: int = MAX_DEPTH,
+) -> int:
+    """Candidate depth derived from corpus DENSITY rather than hand-tuned
+    (VERDICT r3 item 5): pick d with expected cell occupancy N/4^d ≈
+    k·points_per_cell_per_k, so the radius-1 ring (9 cells) carries
+    ~9·30·k candidates — comfortably ≥ k, making round 1 exact for nearly
+    every query while the candidate join touches only ~9·occupancy rows per
+    query. The choice TRACKS density: 100× the rows moves d up ~3.3 levels
+    (same per-query cost) instead of inflating the ring join; at sf0.1
+    (6·10⁵ points, k=5) this reproduces the previously hand-tuned depth 6.
+    Occupancy here is the UNIFORM estimate — for pathologically skewed
+    clouds the ring escalation in ``knn_cells_exact`` still guarantees
+    exactness; depth only sets the starting cost."""
+    import math
+
+    target = max(1, k * points_per_cell_per_k)
+    if n_points <= target:
+        return 1
+    d = int(round(math.log(n_points / target, 4)))
+    return max(1, min(d, max_depth))
+
+
 def knn_cells(
     queries: DataFrame,
     points_with_cell: DataFrame,
@@ -265,6 +291,68 @@ def ann_bruteforce(
     )
 
 
+def _hash_ordered_sample(
+    embeddings: DataFrame, n: int, vec_id: str, emb: str
+) -> np.ndarray:
+    """First ``n`` vectors in md5(vec_id) order — the deterministic,
+    order-insensitive, ENGINE-PORTABLE sample both quantizers build on
+    (distributed TakeOrdered; only n rows reach the driver)."""
+    return np.array(
+        [
+            r[emb]
+            for r in embeddings.select(vec_id, emb)
+            .orderBy(F.md5(F.col(vec_id).cast("string")), F.col(vec_id))
+            .limit(n)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    iters: int = 5,
+    batch_per_centroid: int = 64,
+    max_train_sample: int = 262_144,
+    vec_id: str = "vec_id",
+    emb: str = "embedding",
+) -> np.ndarray:
+    """Seeded mini-batch spherical k-means coarse quantizer (VERDICT r3
+    item 4). Training set = the first ``n_centroids·batch_per_centroid``
+    vectors (capped at ``max_train_sample``) in md5(vec_id) order — the same
+    deterministic hash ordering as the sample quantizer, so training is a
+    pure function of the DATA: no RNG, no partition-order dependence, and
+    the init (first n_centroids of that order) is EXACTLY the hash-sample
+    centroid set, making "kmeans" a strict refinement of "sample".
+
+    Fixed ``iters`` Lloyd rounds in driver-side numpy over the bounded
+    sample (at the ⌈√N⌉ default and the cap, ≤ 262k × dim float64 — a
+    one-off driver cost, not per-row work; assignment afterwards is the
+    usual distributed Arrow matmul). Spherical variant: vectors and
+    centroids L2-normalized, assignment by max cosine with lowest-index
+    tie-break, update = member mean renormalized; an emptied cluster keeps
+    its previous centroid. Deterministic across runs and parallelism levels
+    for a given numpy build (pure float64 ops on an identically ordered
+    array). Returns (n_centroids, dim) float64, unit-norm."""
+    m = min(n_centroids * batch_per_centroid, max_train_sample)
+    x = _hash_ordered_sample(embeddings, m, vec_id, emb)
+    xn = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    x = x / xn
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = np.argmax(sims, axis=1)  # ties → lowest centroid index
+        new = cents.copy()  # emptied clusters keep their centroid
+        for j in np.unique(assign):
+            mu = x[assign == j].mean(axis=0)
+            nrm = np.linalg.norm(mu)
+            if nrm > 1e-12:
+                new[j] = mu / nrm
+        cents = new
+    return cents
+
+
 def ann_ivf(
     embeddings: DataFrame,
     query_vecs: DataFrame,
@@ -275,6 +363,8 @@ def ann_ivf(
     emb: str = "embedding",
     qid: str = "q_vec_id",
     max_centroids: int = 65536,
+    quantizer: str = "sample",
+    train_iters: int = 5,
 ) -> DataFrame:
     """IVF-bucketed ANN. Centroids are a DETERMINISTIC HASH SAMPLE of the
     corpus (ordered by md5 of the id — seeded, order-insensitive, so a sorted
@@ -305,16 +395,18 @@ def ann_ivf(
                 "linear in it); pass n_centroids explicitly or use a "
                 "trained coarse quantizer at this corpus size"
             )
-    cents = np.array(
-        [
-            r[emb]
-            for r in embeddings.select(vec_id, emb)
-            .orderBy(F.md5(F.col(vec_id).cast("string")), F.col(vec_id))
-            .limit(n_centroids)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
+    if quantizer == "kmeans":
+        # trained coarse quantizer: higher recall at fixed n_probe, same
+        # deterministic data-derived pipeline; NOT oracle-replayable in SQL
+        # (the contract query keeps quantizer="sample"), gated instead by
+        # the pytest recall sweep vs ann_bruteforce
+        cents = kmeans_centroids(
+            embeddings, n_centroids, iters=train_iters, vec_id=vec_id, emb=emb
+        )
+    elif quantizer == "sample":
+        cents = _hash_ordered_sample(embeddings, n_centroids, vec_id, emb)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r} (sample|kmeans)")
     dim = cents.shape[1]
     # sequential left-to-right accumulation — the same summation order as
     # the oracle's list_dot_product fold (BLAS matmul's blocked/pairwise

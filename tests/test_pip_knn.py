@@ -225,6 +225,20 @@ def test_knn_cells_exact_10k_queries_no_driver_state(spark, small_points, small_
     pts.unpersist()
 
 
+def test_choose_knn_depth_tracks_density():
+    """Derived candidate depth (VERDICT r3 item 5): reproduces the
+    hand-tuned sf0.1 value and moves ~log4 with density, keeping per-query
+    ring cost flat instead of inflating the join."""
+    from geospatial_cuda_spark import MAX_DEPTH
+
+    d1 = K.choose_knn_depth(600_000, k=5)
+    assert d1 == 6  # the previously hand-tuned sf0.1 constant
+    d2 = K.choose_knn_depth(60_000_000, k=5)  # 100x the density
+    assert d2 - d1 in (3, 4)  # ≈ log4(100)
+    assert K.choose_knn_depth(100, k=5) == 1  # tiny corpus: coarsest grid
+    assert K.choose_knn_depth(10**14, k=5) <= MAX_DEPTH  # clamped
+
+
 def test_knn_bruteforce_empty_queries(spark, knn_world):
     queries, pts = knn_world
     empty = queries.where(F.lit(False))
@@ -255,8 +269,10 @@ def test_ann_ivf_recall_gate(spark):
         for q, g in brute.groupby("q_vec_id")
     }
 
-    def recall(n_probe: int) -> float:
-        got = K.ann_ivf(emb, queries, k=10, n_probe=n_probe).toPandas()
+    def recall(n_probe: int, quantizer: str = "sample") -> float:
+        got = K.ann_ivf(
+            emb, queries, k=10, n_probe=n_probe, quantizer=quantizer
+        ).toPandas()
         hits = total = 0
         for q, want in truth.items():
             have = set(got[got.q_vec_id == q]["vec_id"])
@@ -267,4 +283,16 @@ def test_ann_ivf_recall_gate(spark):
     sweep = {p: recall(p) for p in (1, 4, 8)}
     assert sweep[8] >= sweep[1] - 1e-9, sweep
     assert sweep[8] >= 0.9, sweep
+
+    # trained quantizer (VERDICT r3 item 4): measurably above the
+    # hash-sample baseline at fixed probe width (measured 0.96 vs 0.81 at
+    # n_probe=1, 1.0 vs 0.96 at n_probe=4 on this fixture)
+    km = {p: recall(p, "kmeans") for p in (1, 4)}
+    assert km[1] >= sweep[1] + 0.05, (km, sweep)
+    assert km[4] >= sweep[4] + 0.02, (km, sweep)
+    # deterministic: training is a pure function of the data — identical
+    # centroids regardless of partitioning
+    c1 = K.kmeans_centroids(emb, 20)
+    c2 = K.kmeans_centroids(emb.repartition(13), 20)
+    assert np.array_equal(c1, c2)
     emb.unpersist()

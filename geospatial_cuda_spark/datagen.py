@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .functions.images import encode_image, gen_pixels
+from .functions.images import encode_images_batch, gen_pixels_batch
 from .util import geotag_from_phash, hash2, splitmix64
 
 IMAGES_SCHEMA = (
@@ -49,10 +49,20 @@ def images_pdf(ids: np.ndarray) -> pd.DataFrame:
     h = np.array([_SIZES[int((v + 1) % 3)] for v in i], dtype=np.int32)
     fmt = np.where(i % 4 == 0, "rle", "raw")
     phash = splitmix64(i).astype(np.int64)
-    payload = [
-        encode_image(gen_pixels(int(ii), int(wi), int(hi)), str(f))
-        for ii, wi, hi, f in zip(i, w, h, fmt)
-    ]
+    # synth + encode vectorized per SAME-SHAPE group (w, h, fmt), one numpy
+    # pass each — not per image
+    payload = np.empty(i.shape[0], dtype=object)
+    shape_key = w.astype(np.int64) * 1_000_000 + h.astype(np.int64) * 10 + (
+        fmt == "rle"
+    ).astype(np.int64)
+    for key in np.unique(shape_key):
+        sel = np.flatnonzero(shape_key == key)
+        gw, gh = int(w[sel[0]]), int(h[sel[0]])
+        gfmt = str(fmt[sel[0]])
+        pix = gen_pixels_batch(i[sel], gw, gh)
+        enc = np.empty(sel.shape[0], dtype=object)
+        enc[:] = encode_images_batch(pix, gfmt)  # object slots: bytes kept
+        payload[sel] = enc
     return pd.DataFrame(
         {
             "image_id": [f"img{int(v):010d}" for v in i],

@@ -698,8 +698,6 @@ def _part_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from .functions.images import encode_image, gen_pixels
-
     keys = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= IMG_LIMIT).select(
         F.col("p_partkey").cast("long").alias("key"),
         F.expr(IMG_W).alias("w"),
@@ -710,19 +708,26 @@ def _part_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .functions.images import encode_images_batch, gen_pixels_batch
+
         for b in batches:
-            payload = [
-                encode_image(gen_pixels(int(k), int(w), int(h)), str(f))
-                for k, w, f, h in zip(b["key"], b["w"], b["fmt"], b["h"])
-            ]
+            # numpy work once per SAME-SHAPE group, not per image (r3 item 6)
+            payload = pd.Series(index=b.index, dtype=object)
+            for (w, h, fmt), g in b.groupby(["w", "h", "fmt"], sort=False):
+                pix = gen_pixels_batch(g["key"].to_numpy(np.uint64), int(w), int(h))
+                enc = np.empty(len(g), dtype=object)
+                enc[:] = encode_images_batch(pix, str(fmt))  # bytes kept intact
+                payload.loc[g.index] = enc
             yield pd.DataFrame(
                 {
-                    "image_id": [f"p{int(k)}" for k in b["key"]],
+                    "image_id": "p" + b["key"].astype(str),
                     "bytes": payload,
                     "w": b["w"],
                     "h": b["h"],
                     "fmt": b["fmt"],
-                    "caption": [f"cap {int(k)}" for k in b["key"]],
+                    "caption": "cap " + b["key"].astype(str),
                     "x": b["x"],
                     "y": b["y"],
                 }
@@ -763,22 +768,32 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from .functions.images import decode_image, resize_nearest
+    from .functions.images import decode_images_batch, resize_nearest_batch
 
     imgs = _part_images(spark, sf_dir)
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = {"image_id": [], "sum_r": [], "sum_g": [], "sum_b": [], "n_px": []}
-            for img_id, buf, w, h, fmt in zip(b["image_id"], b["bytes"], b["w"], b["h"], b["fmt"]):
-                px = decode_image(buf, int(w), int(h), str(fmt))
-                small = resize_nearest(px, 8, 8).astype(np.int64)
-                rows["image_id"].append(img_id)
-                rows["sum_r"].append(int(small[..., 0].sum()))
-                rows["sum_g"].append(int(small[..., 1].sum()))
-                rows["sum_b"].append(int(small[..., 2].sum()))
-                rows["n_px"].append(int(w) * int(h))
-            yield pd.DataFrame(rows)
+            # decode + resize + channel sums vectorized per SAME-SHAPE group
+            parts = []
+            for (w, h, fmt), g in b.groupby(["w", "h", "fmt"], sort=False):
+                px = decode_images_batch(list(g["bytes"]), int(w), int(h), str(fmt))
+                small = resize_nearest_batch(px, 8, 8).astype(np.int64)
+                sums = small.reshape(len(g), -1, 3).sum(axis=1)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": g["image_id"].to_numpy(),
+                            "sum_r": sums[:, 0],
+                            "sum_g": sums[:, 1],
+                            "sum_b": sums[:, 2],
+                            "n_px": int(w) * int(h),
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+                {"image_id": [], "sum_r": [], "sum_g": [], "sum_b": [], "n_px": []}
+            )
 
     return imgs.mapInPandas(
         feats, "image_id string, sum_r long, sum_g long, sum_b long, n_px long"

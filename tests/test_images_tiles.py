@@ -27,6 +27,39 @@ def test_unknown_codec_is_stubbed():
         I.decode_image(b"", 1, 1, "jpeg")
 
 
+def test_batch_codecs_match_per_image_paths():
+    """Group-vectorized gen/encode/decode/resize (VERDICT r3 item 6) must be
+    byte-identical to the per-image functions — including 255+ runs, run
+    breaks at image boundaries, and trailing zero bytes in raw payloads."""
+    keys = np.array([0, 4, 17, 255, 1023], dtype=np.uint64)
+    for w, h in ((16, 24), (3, 5)):
+        batch = I.gen_pixels_batch(keys, w, h)
+        for j, k in enumerate(keys):
+            assert np.array_equal(batch[j], I.gen_pixels(int(k), w, h))
+        for fmt in ("raw", "rle"):
+            enc = I.encode_images_batch(batch, fmt)
+            for j, k in enumerate(keys):
+                assert enc[j] == I.encode_image(batch[j], fmt), (fmt, int(k))
+            dec = I.decode_images_batch(enc, w, h, fmt)
+            for j in range(len(keys)):
+                assert np.array_equal(dec[j], I.decode_image(enc[j], w, h, fmt))
+        rs = I.resize_nearest_batch(I.decode_images_batch(
+            I.encode_images_batch(batch, "raw"), w, h, "raw"), 8, 8)
+        for j in range(len(keys)):
+            assert np.array_equal(
+                rs[j], I.resize_nearest(batch[j].reshape(h, w, 3), 8, 8)
+            )
+    # constant image: runs far beyond 255 split identically; trailing zero
+    # bytes survive the object-array handoff (S-dtype would strip them)
+    const = np.zeros((3, 16 * 24 * 3), dtype=np.uint8)
+    for j, e in enumerate(I.encode_images_batch(const, "rle")):
+        assert e == I.rle_encode(const[j])
+    assert all(
+        r.endswith(b"\x00") and len(r) == 16 * 24 * 3
+        for r in I.encode_images_batch(const, "raw")
+    )
+
+
 @pytest.fixture(scope="module")
 def images(spark):
     return with_geotag(images_table(spark, 300, 8)).persist()

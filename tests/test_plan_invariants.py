@@ -19,8 +19,15 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
-# construction already runs jobs (collect/checkpoint) — not explain-only
-EAGER = {"knn", "knn_cells", "ann_ivf", "ann_topk", "embedding_neardup_lsh"}
+# construction already runs jobs (collect/checkpoint/commit) — not explain-only
+EAGER = {
+    "knn",
+    "knn_cells",
+    "ann_ivf",
+    "ann_topk",
+    "embedding_neardup_lsh",
+    "snapshot_lineage",
+}
 # the intentional broadcast range/θ-joins (see tools/dump_plans.py), plus:
 # ngram_jaccard_topk builds the bounded (<80 docs) all-pairs slice its exact-
 # Jaccard demo is defined over, and validate_cells cross-combines three

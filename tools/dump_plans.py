@@ -74,12 +74,13 @@ AUDIT = [
     ),
     (
         "ann_topk",
-        "Cosine scoring via zip_with/aggregate higher-order functions "
-        "(JVM-side, no Python in the scoring loop); broadcast of the query "
-        "vectors (the BroadcastNestedLoopJoin is the intentional "
-        "corpus × queries scoring product — brute force by definition; "
-        "ann_ivf is the pruned path).",
-        ["aggregate", "Window"],
+        "Cosine scoring via the ONE shared Arrow pair kernel "
+        "(pair_cosine_rounded: vectorized batch scoring + DuckDB-exact "
+        "half-away rounding — r4 replaced the interpreted zip_with/aggregate "
+        "fold); broadcast of the query vectors (the BroadcastNestedLoopJoin "
+        "is the intentional corpus × queries scoring product — brute force "
+        "by definition; ann_ivf is the pruned path).",
+        ["ArrowEvalPython", "Window"],
     ),
     (
         "ann_ivf",
@@ -186,6 +187,15 @@ AUDIT = [
         "streaming query): window assignment + tile arithmetic in codegen, "
         "two-phase HashAggregate on (window, tile); no Python eval.",
         ["HashAggregate"],
+    ),
+    (
+        "pip_polygon_join",
+        "Polygon-RELATION PIP (r4): per-polygon bbox + grid-cell explode in "
+        "codegen, blocking EQUI-join on the cell key (no nested loop, no "
+        "polygon closure), exact bbox prune JVM-side, then one cogrouped "
+        "Arrow kernel (FlatMapCoGroupsInPandas) where vertices meet their "
+        "candidate points once per group.",
+        ["FlatMapCoGroupsInPandas", "HashAggregate", "ReadSchema"],
     ),
 ]
 

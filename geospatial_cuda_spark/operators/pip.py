@@ -39,7 +39,10 @@ def point_in_polygons(
 ) -> DataFrame:
     """Rows of ``points`` × ids of containing polygons (inner semantics: rows
     hitting no polygon are dropped; use ``containing_polys_col`` for the
-    array-valued projection instead)."""
+    array-valued projection instead). The polygon list rides every task
+    closure and is scanned per Arrow batch — right for O(10²-10³) modest
+    polygons; for large or heavy polygon sets use ``point_in_polygons_join``
+    (polygons as a DataFrame, blocking join, nothing in the closure)."""
     df = points.withColumn("_polys", containing_polys_col(polygons, F.col(x), F.col(y), prefilter))
     return df.select("*", F.explode("_polys").alias(out)).drop("_polys")
 

@@ -56,6 +56,25 @@ def test_txt_points_drive_engine_identically(spark, tmp_path, small_points):
     )
 
 
+def test_multi_file_pid_order_per_file_by_name(spark, tmp_path):
+    """ADVICE r3: split packing is size-sorted, so partition index alone is
+    not concatenated line order across files. The pid contract for a
+    directory/glob is: files in NAME order, lines in offset order within
+    each file — deterministic regardless of how splits were packed (the
+    files here have different sizes, so size-descending packing would
+    interleave them without the (file, order) ranking key)."""
+    d = tmp_path / "pts"
+    d.mkdir()
+    # name order != size order on purpose: a.txt is the SMALLEST file
+    (d / "a.txt").write_text("1 1\n")
+    (d / "b.txt").write_text("".join(f"{100 + i} 2\n" for i in range(50)))
+    (d / "c.txt").write_text("".join(f"{200 + i} 3\n" for i in range(10)))
+    rows = read_points_txt(spark, str(d)).orderBy("pid").collect()
+    xs = [r["x"] for r in rows]
+    assert xs == [1.0] + [100.0 + i for i in range(50)] + [200.0 + i for i in range(10)]
+    assert [r["pid"] for r in rows] == list(range(61))
+
+
 def test_value_only_mode(spark, tmp_path):
     p = tmp_path / "v.txt"
     p.write_text("1 2\n3 4\n")

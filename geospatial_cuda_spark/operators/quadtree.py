@@ -47,10 +47,21 @@ def parent_col(cell_id: Column) -> Column:
 
 
 def ancestor_col(cell_id: Column, levels_up: int) -> Column:
-    c = cell_id
-    for _ in range(levels_up):
-        c = parent_col(c)
-    return c
+    """Ancestor ``levels_up`` levels up in ONE expression: iterating
+    ``(id-1) div 4`` k times has the closed form
+    ``floor((id - (4^k - 1)/3) / 4^k)`` — nested constant floor-divisions
+    compose (``floor((floor(n/m)+p)/q) = floor((n+p·m)/(m·q))``, valid for
+    all integer n), and the per-level ``-1`` offsets telescope to the base-4
+    repunit. O(1) codegen per ancestor instead of O(k) nested floors; an
+    ancestor-chain projection (search candidates, rollups, dyn chains)
+    drops from O(depth²) to O(depth) expression terms, which shrinks its
+    generated class and its Janino compile tax. Exact for ids < 2^52 (the
+    double division by a power of 4 is exact below 2^53), matching
+    ``parent_col``'s bound."""
+    if levels_up <= 0:
+        return cell_id
+    c = (4 ** levels_up - 1) // 3
+    return F.floor((cell_id - F.lit(c)) / F.lit(4 ** levels_up)).cast("long")
 
 
 def ancestor_dyn_col(cell_id: Column, levels_up: Column, max_levels: int = MAX_DEPTH) -> Column:

@@ -131,3 +131,23 @@ def test_round_half_away_matches_duckdb(vals):
         [con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [float(v)]).fetchone()[0] for v in xs]
     )
     assert np.array_equal(got, want), (xs[got != want], got[got != want], want[got != want])
+
+
+@given(
+    st.integers(min_value=-5, max_value=4**19),
+    st.integers(min_value=0, max_value=18),
+)
+@settings(max_examples=300, deadline=None)
+def test_ancestor_closed_form_equals_iterated_parent(cell_id, k):
+    """ancestor_col's closed form floor((id - (4^k-1)/3)/4^k) must equal k
+    iterations of (id-1) div 4 for every integer id (including the -1
+    sentinel region and past-root underflow) — the r4 O(depth²)→O(depth)
+    codegen shrink must be semantics-free."""
+    import math
+
+    it = cell_id
+    for _ in range(k):
+        it = (it - 1) // 4
+    c = (4**k - 1) // 3
+    cf = cell_id if k == 0 else math.floor((cell_id - c) / (4**k))
+    assert it == cf

@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .functions import cells as C
 from .functions import geo as G
 from .functions import text as TXT
-from .functions.vectors import cosine_col
 from .operators import dedup as D
 from .operators import knn as K
 from .operators import pip as P
@@ -642,6 +641,29 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (r4): connected components over the simhash pair
+    graph with the deterministic min-id representative — the step that makes
+    pairwise near-dup output actionable (keep one doc per component). The
+    oracle recomputes components as a recursive transitive-closure CTE over
+    the same pair SQL, so the distributed pointer-jumping propagation is
+    hash-gated against an independent declarative definition. hamming ≤ 1
+    (vs the pair query's ≤ 3) keeps the fixture graph DISCRIMINATING: ~6
+    components including one ~135-node chain (propagation depth) and
+    several small isolates (separation) — at ≤ 3 everything collapses into
+    one giant component and the gate would accept a buggy global-min CC."""
+    pairs = (
+        q_simhash_neardup(spark, sf_dir)
+        .where(F.col("hamming") <= 1)
+        .select("a", "b")
+    )
+    comps = D.connected_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
 
 
 def q_cells_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,6 +1582,30 @@ FROM d8 GROUP BY 1
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     )
 
+    # neardup_components: connected components of the SAME pair graph stated
+    # declaratively — recursive transitive closure, label = MIN reachable id
+    # (an independent definition of what the distributed pointer-jumping
+    # propagation must converge to)
+    _sn_ctes, _sn_select = sqls["simhash_neardup"][len("WITH "):].rsplit(
+        "\nSELECT a.doc_id AS a", 1
+    )
+    sqls["neardup_components"] = (
+        "WITH RECURSIVE "
+        + _sn_ctes
+        + ",\np AS (SELECT a.doc_id AS a"
+        + _sn_select
+        + "),\ne AS (SELECT a AS u, b AS v FROM p WHERE hamming <= 1\n"
+        "     UNION SELECT b, a FROM p WHERE hamming <= 1),\n"
+        "n AS (SELECT DISTINCT u AS node FROM e),\n"
+        "reach(node, r) AS (\n"
+        "  SELECT node, node FROM n\n"
+        "  UNION\n"
+        "  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node),\n"
+        "c AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)\n"
+        "SELECT component, COUNT(*) AS n_members, MAX(node) AS max_member\n"
+        "FROM c GROUP BY component"
+    )
+
     # ----- cells_bbox_join: leaf cells × rects closed-box overlap -----
     def axis_min_case(axis: str) -> str:
         whens = []
@@ -1828,6 +1874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neighbor_ring": q_neighbor_ring,
     "cluster_layout": q_cluster_layout,
     "simhash_neardup": q_simhash_neardup,
+    "neardup_components": q_neardup_components,
     "cells_bbox_join": q_cells_bbox_join,
     "bpe_token_counts": q_bpe_token_counts,
     "tile_slice_geometry": q_tile_slice_geometry,

@@ -376,3 +376,70 @@ def embedding_near_dups(
         .where(F.col("sim") >= threshold)
         .select(block, "a", "b", "sim")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """``(node, component)`` over the undirected pair graph, component =
+    MIN node id reachable — the step that turns pairwise near-dup output
+    (MinHash/SimHash/embedding LSH) into actionable DUPLICATE CLUSTERS with
+    a deterministic representative (the min id), the way a training-data
+    pipeline actually deduplicates: keep one doc per component.
+
+    Distributed min-label propagation with POINTER JUMPING: each round (1)
+    every node takes the min label over itself and its neighbors (one
+    edge-join + groupBy), then (2) labels chase their own label's label
+    (one self-join) — the pointer-jumping step halves label-chain depth, so
+    convergence is O(log n) rounds even on path graphs, not O(diameter).
+    Per round the driver sees ONE boolean (``changed.isEmpty()`` — the knn-
+    escalation discipline: no collected label maps, no O(N) driver state);
+    each round's frame is eagerly localCheckpoint'ed so plan lineage stays
+    O(1) across iterations instead of doubling per round. All joins are
+    equi-joins on node/label ids; nothing is broadcast that grows with the
+    graph. Nodes are the ids APPEARING IN EDGES (callers union isolated
+    ids afterwards if every doc needs a row — a left join, not a rescan)."""
+    sym = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(lab, on=sym["v"] == lab["node"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            lab.join(nbr_min, on=lab["node"] == nbr_min["u"], how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        jump = new.select(
+            F.col("node").alias("_jn"), F.col("comp").alias("_jc")
+        )
+        new = (
+            new.join(jump, on=new["comp"] == jump["_jn"], how="left")
+            .select("node", F.coalesce(F.col("_jc"), F.col("comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = new.join(lab, on=["node", "comp"], how="left_anti")
+        done = changed.isEmpty()
+        lab = new
+        if done:
+            break
+    return lab.select("node", F.col("comp").alias("component"))

@@ -154,3 +154,46 @@ def test_winnowing_matches_naive_and_guarantee(spark):
         assert sets[doc_id] == naive(text), doc_id
     assert sets[1] & sets[2]          # shared substring ⇒ shared fingerprint
     assert not (sets[1] & sets[3])    # no shared 5-gram ⇒ disjoint
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed min-label + pointer-jumping CC vs a driver union-find on
+    adversarial shapes: a long PATH (worst case for plain propagation —
+    pointer jumping must converge in O(log n) rounds, enforced by the
+    max_rounds cap), plus seeded random graphs with isolates-in-pairs."""
+    import random
+
+    from geospatial_cuda_spark.operators.dedup import connected_components
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {n: find(n) for n in nodes}
+
+    cases = [[(i, i + 1) for i in range(120)]]  # 121-node path
+    rng = random.Random(11)
+    for _ in range(2):
+        n = 80
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+        )
+    for edges in cases:
+        edges = [(u, v) for u, v in edges if u != v]
+        nodes = sorted({x for e in edges for x in e})
+        want = union_find(edges, nodes)
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, max_rounds=12).collect()
+        }
+        assert got == want

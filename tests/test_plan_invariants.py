@@ -27,6 +27,7 @@ EAGER = {
     "ann_topk",
     "embedding_neardup_lsh",
     "snapshot_lineage",
+    "neardup_components",
 }
 # the intentional broadcast range/θ-joins (see tools/dump_plans.py), plus:
 # ngram_jaccard_topk builds the bounded (<80 docs) all-pairs slice its exact-

@@ -1027,6 +1027,16 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS near-dup pairs (r4): docs sharing ≥ 3 winnow fingerprints after
+    dropping fingerprints in > 10 docs (boilerplate filter = skew cap).
+    Local-fingerprint pairing carries the shared-substring guarantee the
+    MinHash pair query lacks; at these thresholds the fixture yields ~570
+    pairs of 19,900 possible — discriminating both ways."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return D.winnow_near_dups(docs)
+
+
 CORPUS_QUALITY_MIN = 0.8
 CORPUS_TOKEN_BUDGET = 12_000
 
@@ -1355,6 +1365,23 @@ sel AS (SELECT DISTINCT doc_id, mn FROM m WHERE i <= GREATEST(npos - 4, 0) + 1)
 SELECT doc_id, COUNT(*) AS n_fp, MIN(mn) AS min_fp, MAX(mn) AS max_fp
 FROM sel GROUP BY doc_id
 """
+
+    # winnow_neardup: pair candidates over the SAME selected-fingerprint
+    # relation — document-frequency boilerplate filter, then the shared-
+    # fingerprint self-join pair count
+    _wf_ctes, _ = sqls["winnow_fingerprints"].rsplit(
+        "\nSELECT doc_id, COUNT(*) AS n_fp", 1
+    )
+    sqls["winnow_neardup"] = (
+        _wf_ctes
+        + """,
+dfc AS (SELECT mn FROM sel GROUP BY mn HAVING COUNT(*) <= 10),
+fps AS (SELECT s.doc_id, s.mn FROM sel s JOIN dfc USING (mn))
+SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON a.mn = b.mn AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+    )
 
     # corpus_sample: the same curation CTE chain + the two-phase budget cut
     corpus_q_cte = sqls["corpus_select"].split("SELECT doc_id, quality")[0]
@@ -1861,6 +1888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "doc_fingerprints": q_doc_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_neardup": q_winnow_neardup,
     "corpus_select": q_corpus_select,
     "corpus_sample": q_corpus_sample,
     "minhash_buckets": q_minhash_buckets,

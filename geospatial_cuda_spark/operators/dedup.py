@@ -443,3 +443,45 @@ def connected_components(
         if done:
             break
     return lab.select("node", F.col("comp").alias("component"))
+
+
+def winnow_near_dups(
+    df: DataFrame,
+    min_shared: int = 3,
+    max_df: int = 10,
+    k: int = 5,
+    w: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style near-dup candidates from LOCAL fingerprints: pairs of docs
+    sharing ≥ ``min_shared`` selected winnow fingerprints — the
+    shared-substring-guaranteed complement to MinHash (any common substring
+    of length ≥ k+w-1 forces a shared fingerprint, so true plagiarism-style
+    overlaps cannot be missed; MinHash can miss them at low global Jaccard).
+
+    ``max_df`` drops fingerprints present in more than that many documents
+    BEFORE the pair join — boilerplate k-grams are non-discriminative, and
+    they are also the skew hazard: the self-join fans out quadratically in
+    a fingerprint's document frequency, so max_df caps per-key join width
+    at max_df² regardless of corpus size (the same bounded-bucket argument
+    as the LSH band join). One groupBy for document frequency, a semi-join
+    filter, one equi-self-join on fingerprint, one pair count — no all-pairs
+    anywhere. Returns (a, b, n_shared) with a < b."""
+    fp = winnow_fingerprints(df, k, w, text, id_col)
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fingerprint")
+    )
+    fps = fp.join(rare, on="fingerprint", how="left_semi")
+    a = fps.select(F.col(id_col).alias("a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("b"), "fingerprint")
+    return (
+        a.join(b, on="fingerprint")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -197,3 +197,36 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(df, max_rounds=12).collect()
         }
         assert got == want
+
+
+def test_winnow_neardup_guarantee_and_boilerplate_filter(spark):
+    """Pair-level winnowing: two docs sharing a substring of length >=
+    k+w-1 MUST pair (the guarantee); a fingerprint present in more than
+    max_df docs is boilerplate and must not create pairs on its own."""
+    from geospatial_cuda_spark.operators.dedup import winnow_near_dups
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    boiler = "COPYRIGHT HEADER LINE COMMON TO EVERYTHING"
+    rows = [
+        (1, f"alpha {shared} omega"),
+        (2, f"zeta {shared} beta"),
+        (3, "completely different content with no overlap at all xyzzy"),
+    ] + [(10 + i, boiler) for i in range(6)]  # byte-identical boilerplate:
+    # identical text ⇒ identical selected sets ⇒ every fingerprint df=6
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in winnow_near_dups(docs, min_shared=1, max_df=4).collect()
+    }
+    assert (1, 2) in pairs  # shared substring >= k+w-1 ⇒ guaranteed pair
+    assert not any(3 in p for p in pairs)  # disjoint doc never pairs
+    # the boilerplate docs share ONLY header fingerprints, which exceed
+    # max_df=4 (6 docs) and are filtered — no pairs among them
+    assert not any(a >= 10 and b >= 10 for a, b in pairs)
+    # raising max_df readmits the header fingerprints ⇒ the pairs appear
+    loose = {
+        (r["a"], r["b"])
+        for r in winnow_near_dups(docs, min_shared=1, max_df=10).collect()
+    }
+    assert any(a >= 10 and b >= 10 for a, b in loose)

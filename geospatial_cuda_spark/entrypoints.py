@@ -1097,6 +1097,31 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.where(F.col("quality") >= CORPUS_QUALITY_MIN)
 
 
+def q_corpus_select_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with NEAR-dup clustering (r4): simhash pair graph →
+    connected components → keep each component's min-id REPRESENTATIVE
+    (docs outside the graph keep themselves) → quality gate. The realistic
+    "one doc per duplicate cluster" selection a training pipeline runs when
+    exact dedup is not enough; the oracle re-derives the entire chain
+    (simhash → recursive-CTE components → quality) in one SQL statement."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = (
+        q_simhash_neardup(spark, sf_dir)
+        .where(F.col("hamming") <= 1)
+        .select("a", "b")
+    )
+    comps = D.connected_components(pairs)
+    drop = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    sel = docs.join(drop, on="doc_id", how="left_anti").select(
+        "doc_id",
+        TXT.quality_score_col(F.col("text")).alias("quality"),
+        TXT.token_count_col(F.col("text")).cast("int").alias("n_tok"),
+    )
+    return sel.where(F.col("quality") >= CORPUS_QUALITY_MIN)
+
+
 # ---------------------------------------------------------------------------
 # oracle_sql() — DuckDB dialect
 # ---------------------------------------------------------------------------
@@ -1633,6 +1658,34 @@ FROM d8 GROUP BY 1
         "FROM c GROUP BY component"
     )
 
+    # corpus_select_neardup: the whole near-dup curation chain in ONE SQL —
+    # components (above) → representative filter → quality gate
+    _cc_ctes, _ = sqls["neardup_components"].rsplit(
+        "\nSELECT component, COUNT(*) AS n_members", 1
+    )
+    sqls["corpus_select_neardup"] = (
+        _cc_ctes
+        + rf""",
+m2 AS (SELECT doc_id,
+  CAST(length(trim(text)) AS DOUBLE) AS n_chars,
+  CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok
+  FROM documents WHERE doc_id < 200),
+q2 AS (SELECT doc_id, round(
+  LEAST(n_chars / 400.0, 1.0) * 0.4
+  + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha / n_chars END) * 0.4
+  + (CASE WHEN n_tok = 0 THEN 0.0
+          WHEN n_chars / n_tok >= 3.0 AND n_chars / n_tok <= 10.0 THEN 1.0
+          ELSE 0.0 END) * 0.2, 4) AS quality,
+  CAST(n_tok AS INT) AS n_tok FROM m2)
+SELECT q2.doc_id, q2.quality, q2.n_tok
+FROM q2 LEFT JOIN c ON q2.doc_id = c.node
+WHERE (c.node IS NULL OR c.component = q2.doc_id)
+  AND q2.quality >= {CORPUS_QUALITY_MIN}
+"""
+    )
+
     # ----- cells_bbox_join: leaf cells × rects closed-box overlap -----
     def axis_min_case(axis: str) -> str:
         whens = []
@@ -1890,6 +1943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_neardup": q_winnow_neardup,
     "corpus_select": q_corpus_select,
+    "corpus_select_neardup": q_corpus_select_neardup,
     "corpus_sample": q_corpus_sample,
     "minhash_buckets": q_minhash_buckets,
     "ngram_jaccard_topk": q_ngram_jaccard_topk,

@@ -28,6 +28,7 @@ EAGER = {
     "embedding_neardup_lsh",
     "snapshot_lineage",
     "neardup_components",
+    "corpus_select_neardup",
 }
 # the intentional broadcast range/θ-joins (see tools/dump_plans.py), plus:
 # ngram_jaccard_topk builds the bounded (<80 docs) all-pairs slice its exact-

@@ -111,3 +111,30 @@ def test_reference_inference_cli_replay(spark, tmp_path):
     assert all(q >= 0 for q in quads)
     assert "Grid Verification Success!" in log
     assert "Point not found in the grid." in log[-1]
+
+
+def test_run_corpus_cli_commits_and_resumes(tmp_path):
+    """The curation spark-submit job: end-to-end run commits a bucketed
+    snapshot with lineage; an identical re-run is a resume no-op (idempotent
+    commit). Subprocess-isolated because the CLI owns its SparkSession."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "corpus"
+    cmd = [
+        sys.executable, "/root/repo/jobs/run_corpus.py",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(out), "--buckets", "8",
+    ]
+    r1 = json.loads(
+        subprocess.run(cmd, capture_output=True, text=True, check=True)
+        .stdout.strip().splitlines()[-1]
+    )
+    assert r1["docs_kept"] > 0 and r1["written_buckets"] > 0
+    assert not r1["resumed_noop"]
+    r2 = json.loads(
+        subprocess.run(cmd, capture_output=True, text=True, check=True)
+        .stdout.strip().splitlines()[-1]
+    )
+    assert r2["resumed_noop"] and r2["docs_kept"] == r1["docs_kept"]

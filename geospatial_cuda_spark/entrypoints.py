@@ -534,6 +534,45 @@ def q_pip_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# convex-relation PIP fixture: 60 id-derived hexagons (center + fixed
+# integer offset pattern × per-id scale — all-integer vertices, so the
+# float64 cross products are exact in the kernel AND in SQL half-planes)
+PIP_HEX_POLYS = 60
+PIP_HEX_DX = (2, 1, -1, -2, -1, 1)
+PIP_HEX_DY = (0, 2, 2, 0, -2, -2)
+
+
+def q_pip_polygon_join_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 relational path on NON-axis-aligned geometry (r4): 60 convex
+    hexagons as a DataFrame through the same blocking join + cogrouped
+    ray-cast kernel; the oracle states containment as the six integer
+    half-plane inequalities per polygon — a fully independent formulation
+    (the rect variant's bbox oracle coincides with the blocking prefilter;
+    this one does not)."""
+    cx = "CAST((id * 6151) % 800000 + 100000 AS DOUBLE)"
+    cy = "CAST((id * 7477) % 800000 + 100000 AS DOUBLE)"
+    s = "CAST(10000 + (id % 7) * 4000 AS DOUBLE)"
+    hexes = spark.range(PIP_HEX_POLYS).select(
+        F.col("id").alias("poly_id"),
+        F.expr(
+            "transform(array"
+            + str(tuple(PIP_HEX_DX))
+            + f", d -> {cx} + d * {s})"
+        ).alias("xs"),
+        F.expr(
+            "transform(array"
+            + str(tuple(PIP_HEX_DY))
+            + f", d -> {cy} + d * {s})"
+        ).alias("ys"),
+    )
+    hit = P.point_in_polygons_join(
+        _points(spark, sf_dir), hexes, block_depth=4, salt=2
+    )
+    return hit.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid")
+    )
+
+
 MUT_INSERTS = [(-101, 9981.0, 9979.0), (-102, 123457.0, 654321.0), (-103, 1.0, 999999.0)]
 MUT_DELETES_FIXED = [(9981.0, 9979.0), (100.0, 100.0)]  # inserted point + absent point
 MUT_DEL_MOD = 997
@@ -1305,6 +1344,29 @@ FROM pts p JOIN r
 GROUP BY r.poly_id
 """
 
+    hex_hp = []
+    for _j in range(6):
+        _dx1, _dy1 = PIP_HEX_DX[_j], PIP_HEX_DY[_j]
+        _dx2, _dy2 = PIP_HEX_DX[(_j + 1) % 6], PIP_HEX_DY[(_j + 1) % 6]
+        _x1, _y1 = f"(r.cx + {_dx1} * r.s)", f"(r.cy + {_dy1} * r.s)"
+        _x2, _y2 = f"(r.cx + {_dx2} * r.s)", f"(r.cy + {_dy2} * r.s)"
+        hex_hp.append(
+            f"(({_x2} - {_x1}) * (p.y - {_y1})"
+            f" - ({_y2} - {_y1}) * (p.x - {_x1})) >= 0"
+        )
+    sqls["pip_polygon_join_convex"] = f"""
+WITH pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),
+r AS (SELECT CAST(i AS BIGINT) AS poly_id,
+             CAST((i * 6151) % 800000 + 100000 AS DOUBLE) AS cx,
+             CAST((i * 7477) % 800000 + 100000 AS DOUBLE) AS cy,
+             CAST(10000 + (i % 7) * 4000 AS DOUBLE) AS s
+      FROM generate_series(0, {PIP_HEX_POLYS - 1}) AS t(i))
+SELECT r.poly_id, COUNT(*) AS n_points, MIN(p.pid) AS min_pid
+FROM pts p JOIN r
+  ON {" AND ".join(hex_hp)}
+GROUP BY r.poly_id
+"""
+
     sqls["token_counts"] = r"""
 SELECT doc_id,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1935,6 +1997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_rects": q_pip_rects,
     "pip_convex": q_pip_convex,
     "pip_polygon_join": q_pip_polygon_join,
+    "pip_polygon_join_convex": q_pip_polygon_join_convex,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,

@@ -1166,6 +1166,23 @@ def q_corpus_select_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# the quality-score formula exists ONCE for every oracle that states it
+# (quality_scores, corpus_select -> corpus_sample, corpus_select_neardup) —
+# two hand-maintained copies drifted would fail the hash gate looking like a
+# pipeline bug rather than formula drift (r4 self-review)
+QUALITY_M_COLS = r"""CAST(length(trim(text)) AS DOUBLE) AS n_chars,
+  CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok"""
+
+QUALITY_EXPR = """round(
+  LEAST(n_chars / 400.0, 1.0) * 0.4
+  + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha / n_chars END) * 0.4
+  + (CASE WHEN n_tok = 0 THEN 0.0
+          WHEN n_chars / n_tok >= 3.0 AND n_chars / n_tok <= 10.0 THEN 1.0
+          ELSE 0.0 END) * 0.2, 4)"""
+
+
 def _oracle_sqls() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
@@ -1387,19 +1404,11 @@ SELECT CASE
 FROM p GROUP BY 1
 """
 
-    sqls["quality_scores"] = r"""
-WITH m AS (SELECT doc_id, trim(text) AS t,
-  CAST(length(trim(text)) AS DOUBLE) AS n_chars,
-  CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok
+    sqls["quality_scores"] = f"""
+WITH m AS (SELECT doc_id,
+  {QUALITY_M_COLS}
   FROM documents)
-SELECT doc_id, round(
-  LEAST(n_chars / 400.0, 1.0) * 0.4
-  + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha / n_chars END) * 0.4
-  + (CASE WHEN n_tok = 0 THEN 0.0
-          WHEN n_chars / n_tok >= 3.0 AND n_chars / n_tok <= 10.0 THEN 1.0
-          ELSE 0.0 END) * 0.2, 4) AS quality
+SELECT doc_id, {QUALITY_EXPR} AS quality
 FROM m
 """
 
@@ -1415,17 +1424,9 @@ WITH keep AS (
   FROM documents
   GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
 m AS (SELECT d.doc_id,
-  CAST(length(trim(text)) AS DOUBLE) AS n_chars,
-  CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok
+  {QUALITY_M_COLS}
   FROM documents d JOIN keep k ON k.doc_id = d.doc_id),
-q AS (SELECT doc_id, round(
-  LEAST(n_chars / 400.0, 1.0) * 0.4
-  + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha / n_chars END) * 0.4
-  + (CASE WHEN n_tok = 0 THEN 0.0
-          WHEN n_chars / n_tok >= 3.0 AND n_chars / n_tok <= 10.0 THEN 1.0
-          ELSE 0.0 END) * 0.2, 4) AS quality,
+q AS (SELECT doc_id, {QUALITY_EXPR} AS quality,
   CAST(n_tok AS INT) AS n_tok, CAST(n_chars AS INT) AS n_chr
   FROM m)
 SELECT doc_id, quality, n_tok, n_chr FROM q WHERE quality >= {CORPUS_QUALITY_MIN}
@@ -1727,19 +1728,11 @@ FROM d8 GROUP BY 1
     )
     sqls["corpus_select_neardup"] = (
         _cc_ctes
-        + rf""",
+        + f""",
 m2 AS (SELECT doc_id,
-  CAST(length(trim(text)) AS DOUBLE) AS n_chars,
-  CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok
+  {QUALITY_M_COLS}
   FROM documents WHERE doc_id < 200),
-q2 AS (SELECT doc_id, round(
-  LEAST(n_chars / 400.0, 1.0) * 0.4
-  + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha / n_chars END) * 0.4
-  + (CASE WHEN n_tok = 0 THEN 0.0
-          WHEN n_chars / n_tok >= 3.0 AND n_chars / n_tok <= 10.0 THEN 1.0
-          ELSE 0.0 END) * 0.2, 4) AS quality,
+q2 AS (SELECT doc_id, {QUALITY_EXPR} AS quality,
   CAST(n_tok AS INT) AS n_tok FROM m2)
 SELECT q2.doc_id, q2.quality, q2.n_tok
 FROM q2 LEFT JOIN c ON q2.doc_id = c.node

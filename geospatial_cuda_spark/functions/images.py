@@ -83,17 +83,20 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
 
 def gen_pixels_batch(keys: np.ndarray, w: int, h: int) -> np.ndarray:
-    """(n, w·h·3) uint8 for a SAME-SHAPE group of images in ONE hash2 pass —
-    the group-vectorized form of ``gen_pixels`` (VERDICT r3 item 6: numpy
-    work per shape group, not per image)."""
+    """(n, w·h·3) uint8 for a SAME-SHAPE group of images, vectorized via
+    BROADCASTING (keys (m,1) × block-index (1,n_px) — no materialized
+    repeat/tile uint64 inputs) and chunked so the uint64 intermediates stay
+    ≲ 128 MB per worker regardless of Arrow batch size (a 10k-row batch of
+    32×32 images would otherwise stage ~GB of transients)."""
     n_px = w * h * 3
     keys = np.asarray(keys, dtype=np.uint64)
-    idx = np.arange(n_px, dtype=np.uint64) // np.uint64(BLOCK)
-    kk = np.repeat(keys, n_px)
-    ii = np.tile(idx, keys.shape[0])
-    return (hash2(kk, ii) & np.uint64(0xFF)).astype(np.uint8).reshape(
-        keys.shape[0], n_px
-    )
+    idx = (np.arange(n_px, dtype=np.uint64) // np.uint64(BLOCK))[None, :]
+    out = np.empty((keys.shape[0], n_px), dtype=np.uint8)
+    step = max(1, 8_000_000 // max(n_px, 1))  # ≤ 8M u64 elems per chunk temp
+    for s0 in range(0, keys.shape[0], step):
+        kk = keys[s0 : s0 + step, None]
+        out[s0 : s0 + step] = hash2(kk, idx) & np.uint64(0xFF)
+    return out
 
 
 def rle_encode_batch(pixmat: np.ndarray) -> list[bytes]:

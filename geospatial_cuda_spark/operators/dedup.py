@@ -407,6 +407,11 @@ def connected_components(
         .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # checkpoint the edge relation too: without this, every round's
+        # nbr_min join re-executes the CALLER's entire edge pipeline (for a
+        # near-dup graph that is the banded self-join over the corpus) —
+        # up to max_rounds re-computations of the dominant cost
+        .localCheckpoint(eager=True)
     )
     lab = (
         sym.select(F.col("u").alias("node"))
@@ -414,6 +419,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    done = False
     for _ in range(max_rounds):
         nbr_min = (
             sym.join(lab, on=sym["v"] == lab["node"])
@@ -442,6 +448,14 @@ def connected_components(
         lab = new
         if done:
             break
+    if not done:
+        # returning partially-propagated labels would silently
+        # under-deduplicate (one cluster, several "representatives")
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "with pointer jumping this needs O(log n) rounds — raise "
+            "max_rounds for graphs with more nodes than 2^max_rounds"
+        )
     return lab.select("node", F.col("comp").alias("component"))
 
 

@@ -44,9 +44,16 @@ def main() -> int:
     ap.add_argument("--out", required=True, help="snapshot table output path")
     ap.add_argument("--dedup", choices=("exact", "simhash"), default="simhash")
     ap.add_argument("--quality", type=float, default=0.8)
-    ap.add_argument("--max-hamming", type=int, default=1)
+    ap.add_argument("--max-hamming", type=int, default=1,
+                    help="simhash hamming threshold; must be < 4 (the "
+                    "4-band pigeonhole blocking is only COMPLETE below the "
+                    "band count — beyond it pairs would be silently lost)")
     ap.add_argument("--buckets", type=int, default=32)
     args = ap.parse_args()
+    if not 0 <= args.max_hamming < 4:
+        ap.error("--max-hamming must be in [0, 3]: near_dup_simhash's "
+                 "4-band blocking guarantees completeness only for "
+                 "hamming < 4")
 
     from pyspark.sql import SparkSession, functions as F
 

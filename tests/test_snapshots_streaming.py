@@ -675,6 +675,9 @@ def test_vacuum_stage_grace_spares_live_writer(spark, bucketed_df, tmp_path):
         f.write("in-flight")
     snap.vacuum()  # default 1h grace: the fresh stage dir survives
     assert os.path.isdir(live)
-    os.utime(live, (1, 1))  # age it past any grace window
+    os.utime(live, (1, 1))  # stale top-level dir alone is NOT enough:
+    snap.vacuum()           # the fresh file inside marks the stage live
+    assert os.path.isdir(live)
+    os.utime(os.path.join(live, "part-0.parquet"), (1, 1))  # whole subtree stale
     snap.vacuum()
     assert not os.path.exists(live)

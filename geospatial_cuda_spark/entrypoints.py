@@ -682,6 +682,44 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+KMV_K = 256
+KMV_DEPTH = 10  # exact JVM encode territory; cells stay sparse at sf0.1
+
+
+def q_cell_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-cardinality SKETCH over the occupied
+    depth-10 cells (r4) — how many grid cells hold data, estimated from the
+    256 smallest md5 order statistics instead of a full distinct count.
+    KMV is the ENGINE-PORTABLE sketch: Spark's HLL++ and DuckDB's
+    approx_distinct are engine-specific and can never cross the hash gate,
+    but both engines compute identical md5 order statistics, so the
+    ESTIMATE ITSELF is oracle-gated bit-for-bit (estimate = ⌊(k-1)/h_(k)⌋,
+    h the [0,1) hash fraction; exact count when fewer than k distinct).
+    The sketch path shuffles only the distinct cell relation and ships k
+    rows to the driver-side TakeOrdered — at petabyte scale the full
+    distinct count next to it is the expensive branch (emitted here so the
+    gate also pins the estimator's ~1/√k accuracy on the fixture)."""
+    pts = _points(spark, sf_dir)
+    hs = pts.select(
+        F.md5(C.cell_id_col(F.col("x"), F.col("y"), KMV_DEPTH).cast("string")).alias("h")
+    ).distinct()
+    top = hs.orderBy("h").limit(KMV_K)
+    frac = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long") / F.lit(
+        float(16**15)
+    )
+    a = top.agg(F.count(F.lit(1)).alias("k"), F.max(frac).alias("hk"))
+    e = hs.agg(F.count(F.lit(1)).alias("n_exact"))
+    # two single-row aggregates cross-combined (the validate_cells pattern)
+    return a.crossJoin(e).select(
+        F.col("k").cast("int").alias("k"),
+        F.when(F.col("k") < KMV_K, F.col("k"))
+        .otherwise(F.floor((F.col("k") - 1) / F.col("hk")))
+        .cast("long")
+        .alias("est_occupied"),
+        F.col("n_exact"),
+    )
+
+
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (r4): connected components over the simhash pair
     graph with the deterministic min-id representative — the step that makes
@@ -1721,6 +1759,24 @@ FROM d8 GROUP BY 1
         "FROM c GROUP BY component"
     )
 
+    # cell_cardinality_kmv: the KMV sketch replayed exactly — md5 order
+    # statistics are engine-portable, so the estimate itself hash-gates
+    sqls["cell_cardinality_kmv"] = f"""
+WITH pts AS (SELECT {LX} AS x, {LY} AS y FROM lineitem),
+hs AS (SELECT DISTINCT md5(CAST({C.cell_id_sql('x', 'y', KMV_DEPTH)} AS VARCHAR)) AS h
+       FROM pts),
+top AS (SELECT h FROM hs ORDER BY h LIMIT {KMV_K}),
+a AS (SELECT COUNT(*) AS k,
+             MAX(CAST(('0x' || substr(h, 1, 15)) AS BIGINT)) / {16**15}.0 AS hk
+      FROM top),
+e AS (SELECT COUNT(*) AS n_exact FROM hs)
+SELECT CAST(a.k AS INT) AS k,
+       CAST(CASE WHEN a.k < {KMV_K} THEN a.k
+                 ELSE FLOOR((a.k - 1) / a.hk) END AS BIGINT) AS est_occupied,
+       e.n_exact
+FROM a, e
+"""
+
     # corpus_select_neardup: the whole near-dup curation chain in ONE SQL —
     # components (above) → representative filter → quality gate
     _cc_ctes, _ = sqls["neardup_components"].rsplit(
@@ -2013,6 +2069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_layout": q_cluster_layout,
     "simhash_neardup": q_simhash_neardup,
     "neardup_components": q_neardup_components,
+    "cell_cardinality_kmv": q_cell_cardinality_kmv,
     "cells_bbox_join": q_cells_bbox_join,
     "bpe_token_counts": q_bpe_token_counts,
     "tile_slice_geometry": q_tile_slice_geometry,

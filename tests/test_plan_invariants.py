@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "ann_topk",
     "ngram_jaccard_topk",
     "validate_cells",
+    "cell_cardinality_kmv",  # two single-row aggregates cross-combined
 }
 FORBIDDEN = [
     ("BatchEvalPython", "row-at-a-time Python UDF"),

@@ -47,10 +47,38 @@ def point_in_polygons(
     return df.select("*", F.explode("_polys").alias(out)).drop("_polys")
 
 
+def choose_block_depth(
+    polygons: DataFrame,
+    extent: float = 1_000_000.0,
+    xs: str = "xs",
+    ys: str = "ys",
+    max_depth: int = 12,
+) -> int:
+    """Blocking-grid depth derived from the polygon SIZE DISTRIBUTION
+    (no hand-tuned constant): pick the depth whose cell edge ≈ the median
+    bbox edge, so a typical polygon explodes to ~4-9 cells while cells stay
+    small enough that the candidate join isn't flooded by unrelated points.
+    One approxQuantile job over the polygon relation (tiny next to the
+    join); degenerate inputs (zero-extent polygons) clamp to max_depth."""
+    import math
+
+    med = (
+        polygons.select(
+            F.greatest(
+                F.array_max(xs) - F.array_min(xs),
+                F.array_max(ys) - F.array_min(ys),
+            ).alias("_ext")
+        ).approxQuantile("_ext", [0.5], 0.05)[0]
+    )
+    if med is None or med <= 0:
+        return max_depth
+    return max(1, min(int(round(math.log2(extent / med))), max_depth))
+
+
 def point_in_polygons_join(
     points: DataFrame,
     polygons: DataFrame,
-    block_depth: int = 4,
+    block_depth: int | None = 4,
     extent: float = 1_000_000.0,
     salt: int | None = None,
     x: str = "x",
@@ -79,8 +107,12 @@ def point_in_polygons_join(
     ``salt`` (e.g. 8) splits a hot polygon's candidate stream across that
     many tasks, duplicating only its vertex row; results are identical.
     ``block_depth`` trades join fan-out (big cells → more false candidates)
-    against explode width (small cells → more cells per bbox); for city-to-
-    state-sized polygons over the 10⁶ extent, 4-6 is right."""
+    against explode width (small cells → more cells per bbox); pass None
+    to DERIVE it from the polygon size distribution (``choose_block_depth``
+    targets cell edge ≈ median bbox edge — ~4-9 cells per typical
+    polygon). Results are depth-independent; only cost moves."""
+    if block_depth is None:
+        block_depth = choose_block_depth(polygons, extent, xs, ys)
     n = 1 << block_depth
     step = float(extent) / n
 

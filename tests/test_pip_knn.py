@@ -296,3 +296,37 @@ def test_ann_ivf_recall_gate(spark):
     c2 = K.kmeans_centroids(emb.repartition(13), 20)
     assert np.array_equal(c1, c2)
     emb.unpersist()
+
+
+def test_choose_block_depth_tracks_polygon_scale(spark):
+    """Derived blocking depth: cell edge ~ median bbox edge, so big
+    polygons get a coarse grid and small ones a fine grid, and the derived
+    depth produces identical results to the fixed default."""
+    def rects(n, size):
+        return spark.range(n).select(
+            F.col("id").cast("int").alias("poly_id"),
+            F.expr(
+                f"transform(array(0,1,1,0), i -> CAST((id*7717)%900000"
+                f" + i*{size} AS DOUBLE))"
+            ).alias("xs"),
+            F.expr(
+                f"transform(array(0,0,1,1), i -> CAST((id*4013)%900000"
+                f" + i*{size} AS DOUBLE))"
+            ).alias("ys"),
+        )
+
+    d_small = P.choose_block_depth(rects(100, 2_000))     # ~2km boxes
+    d_big = P.choose_block_depth(rects(100, 250_000))     # ~250km boxes
+    assert d_small > d_big
+    assert 7 <= d_small <= 10 and 1 <= d_big <= 3
+    # depth only moves cost, never results
+    pts = spark.range(2000).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 7919) % 1_000_000).cast("double").alias("x"),
+        ((F.col("id") * 6101) % 1_000_000).cast("double").alias("y"),
+    )
+    fixed = set(map(tuple, P.point_in_polygons_join(pts, rects(50, 50_000), block_depth=4)
+                    .select("pid", "poly_id").toPandas().itertuples(index=False)))
+    auto = set(map(tuple, P.point_in_polygons_join(pts, rects(50, 50_000), block_depth=None)
+                   .select("pid", "poly_id").toPandas().itertuples(index=False)))
+    assert fixed == auto

@@ -197,6 +197,23 @@ AUDIT = [
         "candidate points once per group.",
         ["FlatMapCoGroupsInPandas", "HashAggregate", "ReadSchema"],
     ),
+    (
+        "winnow_neardup",
+        "Local-fingerprint near-dup pairs (r4): winnow selection is a "
+        "window pass partitioned by doc; the document-frequency boilerplate "
+        "filter is a semi-join (the skew cap), the pair step an equi-join "
+        "on fingerprint + two-phase HashAggregate — no all-pairs, no "
+        "Python beyond the window's codegen.",
+        ["HashAggregate", "Join", "ReadSchema"],
+    ),
+    (
+        "cell_cardinality_kmv",
+        "KMV cardinality sketch (r4): cell encode in codegen, ONE distinct "
+        "shuffle of the cell-hash relation, TakeOrdered of k=256 rows, two "
+        "single-row aggregates cross-combined (the only nested loop — both "
+        "sides are exactly one row).",
+        ["TakeOrderedAndProject", "HashAggregate"],
+    ),
 ]
 
 # plan-text substrings that must never appear, and their meaning
@@ -206,7 +223,12 @@ FORBIDDEN = [
 ]
 # queries allowed to contain BroadcastNestedLoopJoin: the two intentional
 # range joins + the brute-force ANN scoring product (broadcast by design)
-BNLJ_ALLOWED = {"quadrant_search_broadcast", "cells_bbox_join", "ann_topk"}
+BNLJ_ALLOWED = {
+    "quadrant_search_broadcast",
+    "cells_bbox_join",
+    "ann_topk",
+    "cell_cardinality_kmv",  # two single-row aggregates cross-combined
+}
 
 HEADER = """# PLANS — physical-plan audit of the headline operators
 

@@ -187,7 +187,37 @@ def run_images_pipeline(spark, images_path: str, out_dir: str, warm: bool = True
 QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
 
 
-def run_queries(spark) -> dict[str, float]:
+def _evict_cells_cache() -> None:
+    """Drop the per-dataset quadtree-index cache entries (unpersisting their
+    storage) so the next quadtree_cells run pays a COLD build. Only the
+    'cells' entries are evicted — knn_cells' 'points18' index stays warm, so
+    its timings keep their steady-state meaning."""
+    from geospatial_cuda_spark import entrypoints as E
+
+    for key in [k for k in E._CELLS_CACHE if k[2] == "cells"]:
+        df = E._CELLS_CACHE.pop(key)
+        df.unpersist()
+        for dep in getattr(df, "_graft_persists", []):
+            dep.unpersist()
+
+
+def _q_ann_ivf_kmeans(spark, sf_dir):
+    """Bench twin of q_ann_ivf with the TRAINED quantizer (VERDICT r4 item
+    8): same corpus/queries/k, quantizer='kmeans' — so the k-means training
+    cost (driver mini-batch Lloyd over the hash sample) plus the
+    higher-recall probe path is measured, not just recall-gated. Not a
+    contract query: the trained centroids are not SQL-replayable; the
+    recall sweep in test_pip_knn.py is its correctness gate."""
+    from geospatial_cuda_spark.entrypoints import _t
+    from geospatial_cuda_spark.operators import knn as K
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") < 5)
+    return K.ann_ivf(emb, qv, k=10, quantizer="kmeans")
+
+
+def run_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Per-query timings with the same discipline as the scaling bench:
     one untimed warmup pass (pays Janino codegen + Python-worker imports per
     query shape), then QUERY_REPS timed passes in interleaved round-robin
@@ -195,11 +225,22 @@ def run_queries(spark) -> dict[str, float]:
     is overcommitted with time-varying spare capacity; interleaving spreads
     any weather across all queries and best-of-N under one-sided noise
     estimates true plan cost rather than host load (round-3 single-run
-    numbers drifted +10-26% on unchanged plans — protocol, not plan)."""
+    numbers drifted +10-26% on unchanged plans — protocol, not plan).
+
+    Returns (best, all_reps): EVERY rep is recorded in BENCH so that a
+    future regression can be attributed against the in-round distribution,
+    not just cross-round minima (VERDICT r4 item 1/5).
+
+    quadtree_cells is reported TWICE (r4 item 5 — its r4 number silently
+    became a cache-hit measure): `_cold` evicts the session's quadtree-index
+    cache before every run (a fresh index build each rep, steady-state
+    session otherwise), `_warm` serves the cached index — the deployment
+    regimes are different numbers and both are real."""
     import __spark_entry__ as E
 
     names = [
-        "quadtree_cells",
+        "quadtree_cells_cold",
+        "quadtree_cells_warm",
         "quadrant_search",
         "quadrant_search_broadcast",
         "knn",
@@ -216,22 +257,27 @@ def run_queries(spark) -> dict[str, float]:
         "simhash",
         "ann_topk",
         "ann_ivf",
+        "ann_ivf_kmeans",
         "embedding_neardup_lsh",
         "token_counts",
         "quality_scores",
     ]
-    qs = E.queries()
+    qs = dict(E.queries())
+    qs["quadtree_cells_cold"] = qs["quadtree_cells_warm"] = qs["quadtree_cells"]
+    qs["ann_ivf_kmeans"] = _q_ann_ivf_kmeans
+    pre_hooks = {"quadtree_cells_cold": _evict_cells_cache}
     for name in names:  # untimed warmup pass
+        pre_hooks.get(name, lambda: None)()
         qs[name](spark, SF_DIR).count()
-    best: dict[str, float] = {}
+    reps: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(QUERY_REPS):
         for name in names:
+            pre_hooks.get(name, lambda: None)()
             t0 = time.time()
             qs[name](spark, SF_DIR).count()
-            dt = round(time.time() - t0, 3)
-            if name not in best or dt < best[name]:
-                best[name] = dt
-    return best
+            reps[name].append(round(time.time() - t0, 3))
+    best = {n: min(ts) for n, ts in reps.items()}
+    return best, reps
 
 
 def main_single() -> None:
@@ -241,12 +287,15 @@ def main_single() -> None:
     # Headline throughput: warm once, then best-of-N (same one-sided-noise
     # protocol as the per-query timings and the scaling bench).
     pipe = run_images_pipeline(spark, images_path, out_dir, warm=True)
+    pipe_reps = [pipe["wall_sec"]]
     for _ in range(max(0, QUERY_REPS - 1)):
         rerun = run_images_pipeline(spark, images_path, out_dir, warm=False)
+        pipe_reps.append(rerun["wall_sec"])
         if rerun["images_per_sec"] > pipe["images_per_sec"]:
             pipe = rerun
-    queries = run_queries(spark)
+    queries, reps = run_queries(spark)
     queries["images_pipeline"] = pipe["wall_sec"]
+    reps["images_pipeline"] = pipe_reps
     print(
         json.dumps(
             {
@@ -260,6 +309,10 @@ def main_single() -> None:
                     "n_images": pipe["n_images"],
                     "slice_rows": pipe["slice_rows"],
                     "n_located": pipe["n_located"],
+                    # all timed reps per query (interleaved order), so a
+                    # cross-round drift is attributable against the
+                    # in-round distribution (VERDICT r4 items 1/5)
+                    "query_reps": reps,
                 },
             }
         )

@@ -1985,10 +1985,14 @@ def q_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.snapshots import SnapshotTable
 
+    # scratch root keyed by the Spark application id, not just the sf name:
+    # two driver processes running the suite concurrently on one host (bench
+    # + correctness harness) must not rmtree each other's in-flight table
+    # mid-commit (ADVICE r4)
     root = os.path.join(
         tempfile.gettempdir(),
         "geospark_lineage",
-        os.path.basename(sf_dir.rstrip("/")),
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(root, ignore_errors=True)
     snap = SnapshotTable(root)

@@ -166,15 +166,23 @@ def knn_cells(
     d2 = (F.col("x") - F.col("_qx")) * (F.col("x") - F.col("_qx")) + (
         F.col("y") - F.col("_qy")
     ) * (F.col("y") - F.col("_qy"))
-    topk = _topk(joined, qid, k, d2, pid)
     # ring guarantee: every point within `guarantee` of the query is in some
     # candidate cell (the query sits inside its own cell; the ring extends
     # `radius` full cells beyond it on every side).
     cell_extent = 1_000_000.0 / (1 << depth)
     guarantee = (radius * cell_extent) ** 2
-    counts = joined.groupBy(qid).agg(F.count(F.lit(1)).alias("_ncand"))
+    # candidate count and top-k in ONE pass over the join output: both
+    # windows share Window.partitionBy(qid), so they ride the same qid
+    # exchange and the candidate equi-join — the operator's dominant cost —
+    # executes exactly once (a separate groupBy+join-back re-ran it; Spark
+    # does not guarantee exchange reuse across the two branches).
+    w = Window.partitionBy(qid).orderBy(F.col("dist2").asc(), F.col(pid).asc())
+    wc = Window.partitionBy(qid)
     return (
-        topk.join(counts, on=qid)
+        joined.withColumn("dist2", d2)
+        .withColumn("_ncand", F.count(F.lit(1)).over(wc))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
         .withColumn(
             "exact",
             (F.col("_ncand") >= k) & (F.col("dist2") <= F.lit(guarantee)),
@@ -278,7 +286,16 @@ def ann_bruteforce(
     ``pair_cosine_rounded`` kernel (DuckDB binary half-away semantics —
     F.round's shortest-decimal HALF_UP can flip knife-edge values, ADVICE
     r3); ranking uses the rounded value with vec_id tie-break so results are
-    reproducible across engines."""
+    reproducible across engines.
+
+    Scaling trade-off (ADVICE r4): the Arrow kernel ships 2·dim float64 per
+    (corpus × query) product row across the JVM↔Python boundary — a per-row
+    transfer cost the JVM ``zip_with``/``aggregate`` form avoids, at the
+    price of a ~1.5 s Janino compile of its ~3·dim-term tree on every fresh
+    plan. The kernel wins for one-shot queries and bounded Q (the bench
+    case); for a large standing corpus×query product where the one-time
+    compile amortizes, score with ``dot_col_fixed`` (functions/vectors.py)
+    instead — same rounded-sum semantics, JVM-side."""
     q = F.broadcast(query_vecs.select(F.col(vec_id).alias(qid), F.col(emb).alias("_qv")))
     joined = embeddings.crossJoin(q).where(F.col(vec_id) != F.col(qid))
     sim = pair_cosine_rounded(F.col(emb), F.col("_qv"))

@@ -111,6 +111,19 @@ def point_in_polygons_join(
     to DERIVE it from the polygon size distribution (``choose_block_depth``
     targets cell edge ≈ median bbox edge — ~4-9 cells per typical
     polygon). Results are depth-independent; only cost moves."""
+    # fail fast on column collisions: a points relation already carrying the
+    # output column (e.g. re-joining this function's own output) or one of
+    # the internal working names would otherwise yield silently ambiguous /
+    # duplicated columns (ADVICE r4)
+    reserved = {poly_id, "_cx", "_cy", "_salt", "_salt2", "_pid2",
+                "_xs", "_ys", "_xmin", "_xmax", "_ymin", "_ymax"}
+    clash = sorted(reserved & set(points.columns))
+    if clash:
+        raise ValueError(
+            f"point_in_polygons_join: points relation already has column(s) "
+            f"{clash} (reserved for the output/internal working set); rename "
+            "or drop them first"
+        )
     if block_depth is None:
         block_depth = choose_block_depth(polygons, extent, xs, ys)
     n = 1 << block_depth

@@ -133,10 +133,13 @@ class PosixManifestStore(ManifestStore):
             return None
 
     def latest_hint(self) -> int:
+        # the hint is ADVISORY (see ManifestStore): a truncated or
+        # unexpected-format CURRENT (e.g. a crashed writer, a manual edit)
+        # must cost extra roll-forward probes, never a hard read failure
         try:
             with open(os.path.join(self.manifest_dir, "CURRENT")) as f:
                 return int(f.read().strip()[1:-5])  # "v{k}.json"
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError, IndexError):
             return 0
 
     def set_latest_hint(self, version: int) -> None:

@@ -57,7 +57,10 @@ AUDIT = [
         "only a checkpoint scan in its own plan): ring candidates explode "
         "from the tiny query side; candidate↔points join is an EQUI-join on "
         "the ring cell (broadcast: queries side is small); distance top-k "
-        "is a Window per query — never an N·Q cross product.",
+        "AND the exactness candidate count are TWO Window ops over the same "
+        "qid exchange (r5: the count was a separate groupBy joined back, "
+        "which re-executed the candidate join — the plan must show exactly "
+        "ONE join), never an N·Q cross product.",
         ["Window"],
     ),
     (

@@ -49,6 +49,15 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "16384"),
         )
+        # The generated-class cache (STATIC conf — set before the session
+        # exists) defaults to 100 entries; a session serving the full
+        # contract surface (~50 query shapes, several codegen'd methods
+        # each) cycles past that, so hot queries pay a fresh ~0.1-1.5 s
+        # Janino compile on every re-plan. Measured ~10% off simhash /
+        # embedding_neardup_lsh walls under the 20-query bench interleave.
+        # 1024 entries ≈ tens of MB of class metadata — cheap insurance for
+        # a long-lived serving session.
+        .config("spark.sql.codegen.cache.maxEntries", "1024")
         # Keep timestamps deterministic.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -250,6 +250,7 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "pip_rects",
         "pip_convex",
         "pip_polygon_join",
+        "pip_polygon_holes",
         "snapshot_lineage",
         "exact_dedup",
         "corpus_select",

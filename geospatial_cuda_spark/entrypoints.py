@@ -573,6 +573,40 @@ def q_pip_polygon_join_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIP_HOLE_POLYS = 80
+
+
+def q_pip_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 relational path on MULTI-RING polygons (VERDICT r4 item 6): 80
+    rect-with-centered-rect-hole donuts as array-of-array ring columns
+    through the same blocking join + cogrouped kernel (even-odd rule — the
+    hole is punched regardless of ring winding). Every coordinate is an
+    integer multiple of 0.25 (exact in float64), so the oracle is exactly
+    SQL-expressible: outer inclusive containment AND NOT strict hole
+    interior (a point ON the hole edge is boundary-inclusive inside)."""
+    x1 = "CAST((id * 9176) % 900000 AS DOUBLE)"
+    y1 = "CAST((id * 5923) % 900000 AS DOUBLE)"
+    w = "CAST(20000 + (id % 7) * 11000 AS DOUBLE)"
+    h = "CAST(15000 + (id % 5) * 13000 AS DOUBLE)"
+    donuts = spark.range(PIP_HOLE_POLYS).select(
+        F.col("id").alias("poly_id"),
+        F.expr(
+            f"array(array({x1}, {x1} + {w}, {x1} + {w}, {x1}), "
+            f"array({x1} + {w}/4, {x1} + 3*{w}/4, {x1} + 3*{w}/4, {x1} + {w}/4))"
+        ).alias("xs"),
+        F.expr(
+            f"array(array({y1}, {y1}, {y1} + {h}, {y1} + {h}), "
+            f"array({y1} + {h}/4, {y1} + {h}/4, {y1} + 3*{h}/4, {y1} + 3*{h}/4))"
+        ).alias("ys"),
+    )
+    hit = P.point_in_polygons_join(
+        _points(spark, sf_dir), donuts, block_depth=4, salt=2, rule="evenodd"
+    )
+    return hit.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid")
+    )
+
+
 MUT_INSERTS = [(-101, 9981.0, 9979.0), (-102, 123457.0, 654321.0), (-103, 1.0, 999999.0)]
 MUT_DELETES_FIXED = [(9981.0, 9979.0), (100.0, 100.0)]  # inserted point + absent point
 MUT_DEL_MOD = 997
@@ -1422,6 +1456,22 @@ FROM pts p JOIN r
 GROUP BY r.poly_id
 """
 
+    sqls["pip_polygon_holes"] = f"""
+WITH pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),
+r AS (SELECT CAST(i AS BIGINT) AS poly_id,
+             CAST((i * 9176) % 900000 AS DOUBLE) AS x1,
+             CAST((i * 5923) % 900000 AS DOUBLE) AS y1,
+             CAST(20000 + (i % 7) * 11000 AS DOUBLE) AS w,
+             CAST(15000 + (i % 5) * 13000 AS DOUBLE) AS h
+      FROM generate_series(0, {PIP_HOLE_POLYS - 1}) AS t(i))
+SELECT r.poly_id, COUNT(*) AS n_points, MIN(p.pid) AS min_pid
+FROM pts p JOIN r
+  ON p.x >= r.x1 AND p.x <= r.x1 + r.w AND p.y >= r.y1 AND p.y <= r.y1 + r.h
+ AND NOT (p.x > r.x1 + r.w/4 AND p.x < r.x1 + 3*r.w/4
+      AND p.y > r.y1 + r.h/4 AND p.y < r.y1 + 3*r.h/4)
+GROUP BY r.poly_id
+"""
+
     sqls["token_counts"] = r"""
 SELECT doc_id,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2051,6 +2101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_convex": q_pip_convex,
     "pip_polygon_join": q_pip_polygon_join,
     "pip_polygon_join_convex": q_pip_polygon_join_convex,
+    "pip_polygon_holes": q_pip_polygon_holes,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,

@@ -49,6 +49,12 @@ def main() -> int:
                     "4-band pigeonhole blocking is only COMPLETE below the "
                     "band count — beyond it pairs would be silently lost)")
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--store", choices=("posix", "casfile"), default="posix",
+                    help="manifest-store backend: 'posix' (hard-link CAS, "
+                    "default) or 'casfile' (object-store-legal write-temp + "
+                    "O_EXCL generation-token CAS — the conditional-PUT "
+                    "model; use it when the table root is a mounted object "
+                    "store without reliable link/rename)")
     args = ap.parse_args()
     if not 0 <= args.max_hamming < 4:
         ap.error("--max-hamming must be in [0, 3]: near_dup_simhash's "
@@ -89,7 +95,13 @@ def main() -> int:
         "bucket", F.pmod(F.col("doc_id"), F.lit(args.buckets)).cast("string")
     )
 
-    snap = SnapshotTable(args.out)
+    if args.store == "casfile":
+        from geospatial_cuda_spark.sources.snapshots import CasFileManifestStore
+
+        store = CasFileManifestStore(os.path.join(args.out, "_manifest"))
+    else:
+        store = None  # SnapshotTable defaults to PosixManifestStore
+    snap = SnapshotTable(args.out, store=store)
     result = snap.commit(scored, "bucket")
     wall = time.time() - t0
     m = result["snapshot"]["metrics"] if result["snapshot"] else {}

@@ -138,3 +138,18 @@ def test_run_corpus_cli_commits_and_resumes(tmp_path):
         .stdout.strip().splitlines()[-1]
     )
     assert r2["resumed_noop"] and r2["docs_kept"] == r1["docs_kept"]
+
+    # --store casfile routes the commit through the object-store-legal
+    # conditional-PUT backend (r5): same pipeline, token-based manifests
+    out2 = tmp_path / "corpus_cas"
+    cmd2 = cmd[:5] + [str(out2), "--buckets", "8", "--store", "casfile"]
+    r3 = json.loads(
+        subprocess.run(cmd2, capture_output=True, text=True, check=True)
+        .stdout.strip().splitlines()[-1]
+    )
+    assert r3["docs_kept"] == r1["docs_kept"]
+    import os
+
+    names = os.listdir(out2 / "_manifest")
+    assert any(n.endswith(".token") for n in names)
+    assert not any(n.startswith("v") and n.endswith(".json") for n in names)

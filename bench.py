@@ -174,6 +174,15 @@ def run_images_pipeline(spark, images_path: str, out_dir: str, warm: bool = True
     stages["slice_commit"] = round(time.time() - t, 3)
     wall = time.time() - t0
     rows = result["snapshot"]["metrics"]["rows_written"]
+    # release this rep's index caches: Spark's CacheManager matches by
+    # canonicalized PLAN, so a leaked persist would silently turn every
+    # later best-of-N rep into a cache-hit serve of the first rep's build —
+    # the same cold/warm ambiguity VERDICT r4 flagged for quadtree_cells.
+    # The headline metric is the COLD end-to-end pipeline by definition;
+    # warm-serve is measured separately (quadtree_cells_warm).
+    cells.unpersist()
+    for dep in getattr(cells, "_graft_persists", []):
+        dep.unpersist()
     return {
         "n_images": n_images,
         "n_located": n_located,

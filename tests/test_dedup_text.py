@@ -301,3 +301,29 @@ def test_dedup_releases_caches(spark, docs):
             break
         time.sleep(0.25)
     assert sc._jsc.getPersistentRDDs().size() <= baseline
+
+
+def test_minhash_bucket_cap_bounds_candidates(spark):
+    """candidate_pairs' max_bucket skew cap (the minhash twin of simhash's
+    max_df): 300 docs sharing identical text land in the same bucket of
+    EVERY band — uncapped that is ~45k pairs per band; capped, the hot
+    buckets drop and only the cool ones join."""
+    rows = [(i, "identical boilerplate body shared by every document") for i in range(300)]
+    rows += [(1000 + i, f"genuinely distinct text number {i} about topic {i % 9}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingle_set(docs)
+    bk = D.lsh_buckets(D.minhash_signatures(sh))
+    uncapped = D.candidate_pairs(bk).count()
+    capped = D.candidate_pairs(bk, max_bucket=50).count()
+    assert uncapped >= 300 * 299 // 2  # the hot bucket really is quadratic
+    assert capped < uncapped
+    # bound: every surviving (band,bucket) group has ≤ 50 docs
+    import pandas as pd
+
+    freq = bk.groupBy("band", "bucket").count().toPandas()
+    bound = int((freq[freq["count"] <= 50]["count"] ** 2).sum())
+    assert capped <= bound
+    # and capped results are a subset of uncapped at the same threshold
+    got = {(r["a"], r["b"]) for r in D.near_dup_minhash(docs, 0.7, max_bucket=50).collect()}
+    full = {(r["a"], r["b"]) for r in D.near_dup_minhash(docs, 0.7).collect()}
+    assert got <= full

@@ -201,6 +201,15 @@ AUDIT = [
         ["FlatMapCoGroupsInPandas", "HashAggregate", "ReadSchema"],
     ),
     (
+        "pip_polygon_holes",
+        "Multi-ring PIP (r5): same relational blocking-join shape as "
+        "pip_polygon_join; the only additions are array_min(flatten(..)) "
+        "bbox codegen over the ring-nested columns and the fill-rule flag "
+        "in the cogrouped kernel — no extra shuffle, no Python before the "
+        "kernel.",
+        ["FlatMapCoGroupsInPandas", "HashAggregate", "ReadSchema"],
+    ),
+    (
         "winnow_neardup",
         "Local-fingerprint near-dup pairs (r4): winnow selection is a "
         "window pass partitioned by doc; the document-frequency boilerplate "

@@ -261,6 +261,7 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "pip_polygon_join",
         "pip_polygon_holes",
         "snapshot_lineage",
+        "snapshot_prune",
         "exact_dedup",
         "corpus_select",
         "minhash_buckets",

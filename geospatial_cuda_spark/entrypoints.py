@@ -2020,7 +2020,102 @@ FROM base b JOIN tb USING (bucket) JOIN surv s USING (bucket)
 GROUP BY b.bucket, b.n_base, tb.n_batches
 """
 
+    # snapshot_prune: manifest column statistics + z-order clustering under
+    # the hash gate. The Spark side commits the lineitem-derived points into
+    # a SnapshotTable with stat_cols=[x, y] and a zorder_key sort, then
+    # answers three bbox queries THROUGH read_where — i.e. through
+    # manifest-level file skipping (files whose recorded [min,max] cannot
+    # intersect the box are never handed to the scan). The oracle is a plain
+    # filter over the same derived points: any file wrongly pruned (lost
+    # rows), stats misrecorded, or clustering-corrupted row drops the count /
+    # min-pid / coordinate checksum. n_table_rows additionally pins the
+    # manifest's per-bucket row counts (footer-harvested) to COUNT(*).
+    prune_box_values = ", ".join(
+        f"({i}, {x1}, {y1}, {x2}, {y2})" for i, x1, y1, x2, y2 in PRUNE_BOXES
+    )
+    sqls["snapshot_prune"] = f"""
+WITH pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),
+tot AS (SELECT COUNT(*) AS n FROM pts),
+boxes AS (SELECT * FROM (VALUES {prune_box_values}) AS b(box_id, x1, y1, x2, y2))
+SELECT CAST(b.box_id AS INT) AS box_id, COUNT(*) AS n_points,
+       MIN(pid) AS min_pid, CAST(SUM(x + y) AS BIGINT) AS xy_sum,
+       CAST((SELECT n FROM tot) AS BIGINT) AS n_table_rows
+FROM pts JOIN boxes b
+  ON x >= b.x1 AND x <= b.x2 AND y >= b.y1 AND y <= b.y2
+GROUP BY b.box_id
+"""
+
     return sqls
+
+
+# (box_id, x1, y1, x2, y2) inclusive — chosen so the z-ordered layout prunes
+# meaningfully differently per box: a mid-domain square, a wide bottom band,
+# and a small corner (tests/test_snapshot_stats.py gates that pruning
+# actually skips files; this contract query gates that it never skips rows).
+PRUNE_BOXES = [
+    (1, 100_000, 100_000, 300_000, 300_000),
+    (2, 650_000, 0, 999_999, 200_000),
+    (3, 0, 900_000, 80_000, 999_999),
+]
+
+
+def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink statistics + file skipping under the driver's hash gate: commit
+    the points z-order-clustered (``sort_cols=[zorder_key(...)]``) with
+    per-file [min, max] manifest stats on x and y, then answer bbox queries
+    via ``read_where`` — the Iceberg manifest-pruning read model. The oracle
+    re-derives each box as a plain filter, so a wrongly-skipped file (the
+    only way manifest pruning can be incorrect) hash-mismatches. Reference
+    analogue: the clustered-slicing read path (`cuda/organize_points.cu`
+    quadrant layout) promised as an Iceberg-style sink in SURVEY §2 S3/X7."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.geo import zorder_key
+    from .sources.snapshots import SnapshotTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "geospark_prune",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snap = SnapshotTable(
+        root,
+        stat_cols=["x", "y"],
+        sort_cols=[zorder_key([("x", 0, 1_000_000), ("y", 0, 1_000_000)])],
+        max_records_per_file=4096,
+    )
+    pts = _points(spark, sf_dir).withColumn(
+        "bucket", F.pmod(F.col("pid"), F.lit(4)).cast("string")
+    )
+    snap.commit(pts, "bucket")
+    n_total = int(sum(snap.current()["buckets"].values()))
+    outs = []
+    for box_id, x1, y1, x2, y2 in PRUNE_BOXES:
+        r = snap.read_where(spark, {"x": (x1, x2), "y": (y1, y2)})
+        outs.append(
+            r.groupBy(F.lit(box_id).cast("int").alias("box_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.min("pid").alias("min_pid"),
+                F.sum(F.col("x").cast("long") + F.col("y").cast("long")).alias(
+                    "xy_sum"
+                ),
+            )
+            .select(
+                "box_id",
+                "n_points",
+                "min_pid",
+                "xy_sum",
+                F.lit(n_total).cast("long").alias("n_table_rows"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def q_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2132,6 +2227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
     "snapshot_lineage": q_snapshot_lineage,
+    "snapshot_prune": q_snapshot_prune,
 }
 
 ORACLES: dict[str, str] = _oracle_sqls()

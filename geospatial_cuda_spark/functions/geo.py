@@ -49,6 +49,81 @@ def tile_y_sql(ycol: str, zoom: int, extent: int = EXTENT) -> str:
     )
 
 
+def _spread_bits_2d(v: Column, bits: int) -> Column:
+    """Morton bit-spread: insert a zero between consecutive bits of a
+    ``bits``-bit long (closed-form magic-mask form — 4 shift/and/or pairs,
+    whole-stage codegen, no per-bit Column chain; cf. the Janino-tax note on
+    closed-form cell arithmetic in operators/quadtree.py)."""
+    assert bits <= 32
+    out = v.cast("long")
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        if shift < bits * 2:  # steps wider than the input are no-ops
+            out = (out.bitwiseOR(F.shiftleft(out, shift))).bitwiseAND(F.lit(mask))
+    return out
+
+
+def zorder_key(
+    cols_bounds: list[tuple], bits: int = 16
+) -> Column:
+    """Z-order (Morton) clustering key over numeric columns with known
+    bounds: ``cols_bounds`` is ``[(col_or_name, lo, hi), ...]`` (2 columns —
+    the spatial case). Each value is normalized to a ``bits``-bit integer in
+    [0, 2^bits), bit-interleaved, and returned as a long Column — sort or
+    range-partition by it (``SnapshotTable(sort_cols=[zorder_key(...)])``)
+    and nearby (x, y) land in the same data files, so BOTH columns' footer
+    min/max stay tight and 2-D range predicates prune files (a lexicographic
+    sort keeps only its leading column tight). Pure JVM Column arithmetic.
+
+    Bounds need not be exact — values clamp to [lo, hi]; a clamped outlier
+    only coarsens clustering, never correctness (pruning reads the FOOTER
+    ranges of the raw columns, not the key)."""
+    if len(cols_bounds) != 2:
+        raise ValueError("zorder_key supports exactly 2 columns")
+    n = 1 << bits
+    parts = []
+    for i, (c, lo, hi) in enumerate(cols_bounds):
+        col = F.col(c) if isinstance(c, str) else c
+        scaled = F.floor(
+            (col.cast("double") - F.lit(float(lo)))
+            * F.lit(n / (float(hi) - float(lo)))
+        ).cast("long")
+        clamped = F.least(F.greatest(scaled, F.lit(0)), F.lit(n - 1))
+        parts.append(F.shiftleft(_spread_bits_2d(clamped, bits), i))
+    return parts[0].bitwiseOR(parts[1])
+
+
+def zorder_np(xs: np.ndarray, ys: np.ndarray, bounds, bits: int = 16) -> np.ndarray:
+    """Numpy twin of ``zorder_key`` for golden tests (same clamp + interleave)."""
+    (xlo, xhi), (ylo, yhi) = bounds
+    n = 1 << bits
+
+    def norm(v, lo, hi):
+        return np.clip(
+            np.floor((v.astype(np.float64) - lo) * (n / (hi - lo))).astype(np.int64),
+            0,
+            n - 1,
+        )
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    return (
+        spread(norm(xs, xlo, xhi)) | (spread(norm(ys, ylo, yhi)) << np.uint64(1))
+    ).astype(np.int64)
+
+
 def tile_xy_np(x: np.ndarray, y: np.ndarray, zoom: int, extent: int = EXTENT):
     n = 1 << zoom
     tx = np.clip(np.floor(x.astype(np.float64) * n / extent).astype(np.int64), 0, n - 1)

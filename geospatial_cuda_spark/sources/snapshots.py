@@ -282,12 +282,43 @@ class InMemoryManifestStore(ManifestStore):
 
 
 class SnapshotTable:
-    def __init__(self, path: str, store: ManifestStore | None = None):
+    def __init__(
+        self,
+        path: str,
+        store: ManifestStore | None = None,
+        stat_cols: list[str] | None = None,
+        sort_cols: list | None = None,
+        max_records_per_file: int | None = None,
+    ):
+        """``stat_cols`` opts the table into manifest column statistics: every
+        base-file write additionally records per-FILE [min, max] for those
+        columns in the manifest (read from the parquet footers the commit
+        already opens for row counts — no extra data read, no extra job), and
+        ``read_where`` skips files whose range cannot intersect a query
+        predicate — Iceberg's manifest-level file skipping. At 100 TB this is
+        the difference between a selective query scanning its few hundred
+        matching files and scanning the table.
+
+        ``sort_cols`` (str column names or Column expressions, e.g.
+        ``zorder_key(...)``) clusters rows WITHIN each write task before the
+        parquet write, so each data file covers a narrow range of the sort
+        key and the footer min/max actually bite. Sorting is per-task
+        (``sortWithinPartitions`` — no extra shuffle beyond the bucket
+        repartition the write already does).
+
+        ``max_records_per_file`` bounds data-file size (Spark's
+        ``maxRecordsPerFile`` writer option). With ``sort_cols`` set this is
+        also the PRUNING GRANULARITY knob: a write task's sorted run splits
+        into sequential chunks, so each file covers a contiguous, narrow
+        slice of the sort key no matter how few write tasks there are."""
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.delta_dir = os.path.join(path, "deltas")
         self.manifest_dir = os.path.join(path, "_manifest")
         self.store = store if store is not None else PosixManifestStore(self.manifest_dir)
+        self.stat_cols = list(stat_cols) if stat_cols else []
+        self.sort_cols = list(sort_cols) if sort_cols else []
+        self.max_records_per_file = max_records_per_file
 
     # -- manifest -----------------------------------------------------------
 
@@ -376,21 +407,76 @@ class SnapshotTable:
                 }
         return out
 
-    @staticmethod
-    def _footer_rows(bdir: str, files: set[str]) -> int:
-        """Row count of a bucket directory from parquet footers (metadata-only
-        — no column data is read; at cluster scale this is the same footer
-        metadata a catalog manifest records at write time). Footer opens are
-        I/O-latency-bound, so they run on a small thread pool — serially this
-        is driver time that no executor count can parallelize."""
+    # parquet physical types whose footer min/max are exact and totally
+    # ordered. BYTE_ARRAY (strings/binary) is deliberately excluded: parquet
+    # writers may TRUNCATE string min/max, so pruning on them can drop
+    # matching files — a correctness hazard, not an optimization.
+    _STAT_TYPES = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
+
+    @classmethod
+    def _footer_rows_stats(
+        cls, bdir: str, files: set[str], stat_cols: list[str]
+    ) -> tuple[int, dict[str, dict[str, list]]]:
+        """(total rows, {file: {col: [min, max]}}) of a bucket directory from
+        parquet footers — metadata-only, no column data is read; at cluster
+        scale this is the same footer metadata a catalog manifest records at
+        write time. Footer opens are I/O-latency-bound, so they run on a
+        small thread pool — serially this is driver time that no executor
+        count can parallelize.
+
+        Stats merge across a file's row groups; a column missing min/max in
+        ANY row group (or of a non-prunable physical type) gets no entry for
+        that file — absent stats mean "never prune", so degradation is always
+        toward correctness."""
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
+        wanted = set(stat_cols)
+
+        def info(p: str) -> tuple[str, int, dict]:
+            md = pq.ParquetFile(p).metadata
+            col_stats: dict[str, list] = {}
+            bad: set[str] = set()
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    col = rg.column(c_i)
+                    name = col.path_in_schema
+                    if name not in wanted or name in bad:
+                        continue
+                    st = col.statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or col.physical_type not in cls._STAT_TYPES
+                        or not isinstance(st.min, (int, float))
+                        or not isinstance(st.max, (int, float))
+                    ):
+                        bad.add(name)
+                        col_stats.pop(name, None)
+                        continue
+                    cur = col_stats.get(name)
+                    if cur is None:
+                        col_stats[name] = [st.min, st.max]
+                    else:
+                        cur[0] = min(cur[0], st.min)
+                        cur[1] = max(cur[1], st.max)
+            return os.path.basename(p), md.num_rows, col_stats
+
         paths = [os.path.join(bdir, f) for f in files]
         if len(paths) <= 2:
-            return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
-        with ThreadPoolExecutor(min(16, len(paths))) as ex:
-            return sum(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths))
+            infos = [info(p) for p in paths]
+        else:
+            with ThreadPoolExecutor(min(16, len(paths))) as ex:
+                infos = list(ex.map(info, paths))
+        rows = sum(n for _, n, _ in infos)
+        stats = {f: s for f, n, s in infos if s}
+        return rows, stats
+
+    @classmethod
+    def _footer_rows(cls, bdir: str, files: set[str]) -> int:
+        """Row count only (see ``_footer_rows_stats``)."""
+        return cls._footer_rows_stats(bdir, files, [])[0]
 
     @staticmethod
     def _check_no_null_buckets(new_files: dict) -> None:
@@ -453,12 +539,12 @@ class SnapshotTable:
             moved = self._write_append_tracked(batch, bucket_col)
             self._check_no_null_buckets(moved)
             new_files = {b: fs for b, fs in moved.items() if fs}
-            rows = {
-                b: self._footer_rows(
-                    os.path.join(self.data_dir, f"{bucket_col}={b}"), set(fs)
-                )
-                for b, fs in new_files.items()
-            }
+            rows, new_stats = {}, {}
+            for b, fs in new_files.items():
+                bdir = os.path.join(self.data_dir, f"{bucket_col}={b}")
+                rows[b], st = self._footer_rows_stats(bdir, set(fs), self.stat_cols)
+                if st:
+                    new_stats[b] = st
             if not rows:
                 return {"done": True, "written_buckets": 0, "snapshot": self.current()}
             all_pending = pending = sorted(rows)
@@ -490,6 +576,18 @@ class SnapshotTable:
                 )
                 new_files = {b: moved.get(b, []) for b in pending}
                 rows = {b: bucket_counts[b] for b in pending}
+                new_stats = {}
+                if self.stat_cols:  # rows came from the pre-pass, stats from footers
+                    for b, fs in new_files.items():
+                        if not fs:
+                            continue
+                        _, st = self._footer_rows_stats(
+                            os.path.join(self.data_dir, f"{bucket_col}={b}"),
+                            set(fs),
+                            self.stat_cols,
+                        )
+                        if st:
+                            new_stats[b] = st
             finally:
                 if we_persisted:
                     df.unpersist()
@@ -515,6 +613,7 @@ class SnapshotTable:
                         f"bucket {b} was committed concurrently"
                     )
             state["rows"] = my_rows
+            all_stats = {**(dict(p.get("stats", {})) if p else {}), **new_stats}
             return {
                 "version": (p["version"] + 1) if p else 1,
                 "snapshot_id": uuid.uuid4().hex,
@@ -523,6 +622,7 @@ class SnapshotTable:
                 "bucket_type": bucket_type,
                 "buckets": {**done_b, **my_rows},
                 "files": {**done_f, **my_files},
+                **({"stats": all_stats} if all_stats else {}),
                 **({"deltas": p["deltas"]} if p and p.get("deltas") else {}),
                 **({"delta_key": p["delta_key"]} if p and "delta_key" in p else {}),
                 "metrics": {
@@ -569,13 +669,14 @@ class SnapshotTable:
         )
         self._check_no_null_buckets(moved)
         new_files = {b: moved.get(b, []) for b in bset}
-        rows = {
-            b: self._footer_rows(
-                os.path.join(self.data_dir, f"{bucket_col}={b}"), set(fs)
-            )
-            for b, fs in new_files.items()
-            if fs
-        }
+        rows, new_stats = {}, {}
+        for b, fs in new_files.items():
+            if not fs:
+                continue
+            bdir = os.path.join(self.data_dir, f"{bucket_col}={b}")
+            rows[b], st = self._footer_rows_stats(bdir, set(fs), self.stat_cols)
+            if st:
+                new_stats[b] = st
         wall = time.time() - t0
         bucket_type = df.schema[bucket_col].dataType.simpleString()
         orig_entries = self._bucket_entries(parent, bset)
@@ -597,6 +698,12 @@ class SnapshotTable:
             kept_files = {b: fs for b, fs in done_f.items() if b not in bset}
             kept_files.update({b: fs for b, fs in new_files.items() if fs})
             kept_deltas = {b: d for b, d in done_d.items() if b not in bset}
+            kept_stats = {
+                b: s
+                for b, s in (dict(p.get("stats", {})) if p else {}).items()
+                if b not in bset
+            }
+            kept_stats.update(new_stats)
             return {
                 "version": (p["version"] + 1) if p else 1,
                 "snapshot_id": uuid.uuid4().hex,
@@ -605,6 +712,7 @@ class SnapshotTable:
                 "bucket_type": bucket_type,
                 "buckets": new_buckets,
                 "files": kept_files,
+                **({"stats": kept_stats} if kept_stats else {}),
                 **({"deltas": kept_deltas} if kept_deltas else {}),
                 **({"delta_key": p["delta_key"]} if p and "delta_key" in p else {}),
                 "metrics": {
@@ -693,6 +801,7 @@ class SnapshotTable:
             for b in bset:
                 if new_files[b]:
                     done_d.setdefault(b, []).append([seq, new_files[b]])
+            done_s = dict(p.get("stats", {})) if p else {}
             manifest = {
                 "version": seq,
                 "snapshot_id": uuid.uuid4().hex,
@@ -701,6 +810,7 @@ class SnapshotTable:
                 "bucket_type": bucket_type,
                 "buckets": done_b,
                 "files": done_f,
+                **({"stats": done_s} if done_s else {}),
                 "deltas": done_d,
                 "delta_key": list(key_cols),
                 "delta_op": op_col,
@@ -751,14 +861,26 @@ class SnapshotTable:
             for b in buckets:
                 compacted[b] = moved.get(b, [])
                 if compacted[b]:
-                    compact_rows[b] = self._footer_rows(
-                        os.path.join(self.data_dir, f"{bucket_col}={b}"), set(compacted[b])
+                    compact_rows[b], st = self._footer_rows_stats(
+                        os.path.join(self.data_dir, f"{bucket_col}={b}"),
+                        set(compacted[b]),
+                        self.stat_cols,
                     )
+                    # cache the new files' stats alongside the file list so a
+                    # CAS-retried build (which reuses ``compacted``) re-applies
+                    # them without re-reading footers
+                    compacted[b] = [compacted[b], st]
         for b in buckets:
             manifest["deltas"].pop(b, None)
-            if compacted.get(b):
-                manifest["files"][b] = compacted[b]
+            # the parent's stats describe the REPLACED files — always drop
+            manifest.get("stats", {}).pop(b, None)
+            entry = compacted.get(b)
+            if entry and entry[0]:
+                files_b, st = entry
+                manifest["files"][b] = files_b
                 manifest["buckets"][b] = compact_rows[b]
+                if st:
+                    manifest.setdefault("stats", {})[b] = st
             else:  # all rows deleted
                 manifest["files"].pop(b, None)
                 manifest["buckets"].pop(b, None)
@@ -955,13 +1077,34 @@ class SnapshotTable:
         Visibility comes from the manifest (readers load exactly the
         manifest's file set), so append needs no overwrite mode and no
         driver-side staging renames."""
-        batch.repartition(
-            F.col(bucket_col), F.spark_partition_id()
-        ).write.partitionBy(bucket_col).mode("append").parquet(target or self.data_dir)
+        if self.sort_cols:
+            # clustered write: RANGE-partition on (bucket, sort key) so each
+            # write task owns a contiguous key slab — per-bucket files then
+            # cover narrow, disjoint sort-key ranges and the footer min/max
+            # recorded in the manifest actually prune (``read_where``).
+            # repartitionByRange samples the batch to pick balanced quantile
+            # boundaries (one extra sampling pass; load balance comes from
+            # row-count quantiles instead of the hash salt below). The
+            # task-local sort adds no shuffle.
+            cols = [F.col(c) if isinstance(c, str) else c for c in self.sort_cols]
+            shaped = batch.repartitionByRange(
+                F.col(bucket_col), *cols
+            ).sortWithinPartitions(F.col(bucket_col), *cols)
+        else:
+            shaped = batch.repartition(F.col(bucket_col), F.spark_partition_id())
+        writer = shaped.write.partitionBy(bucket_col).mode("append")
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+        writer.parquet(target or self.data_dir)
 
     # -- read path -----------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        _keep_file=None,
+    ) -> DataFrame:
         """Committed data only: load EXACTLY the manifest's file set (crash
         residue and expired snapshots' files in the data dir are never
         visible — file-level manifests, the Iceberg read model), with pending
@@ -982,12 +1125,17 @@ class SnapshotTable:
                 raise FileNotFoundError(f"no snapshot v{version} at {self.path}")
         bucket_col = m["bucket_col"]
         deltas = {b for b, v in (m.get("deltas") or {}).items() if v}
-        paths = [
-            os.path.join(self.data_dir, f"{bucket_col}={b}", f)
+        all_paths = [
+            (b, f, os.path.join(self.data_dir, f"{bucket_col}={b}", f))
             for b, fs in m.get("files", {}).items()
             for f in fs
             if b not in deltas
         ]
+        paths = [p for b, f, p in all_paths if _keep_file is None or _keep_file(b, f)]
+        if all_paths and not paths:
+            # every base file was stats-pruned: keep one so the scan retains
+            # the committed schema; the caller's row filter drops its rows
+            paths = [all_paths[0][2]]
         if paths:
             df = spark.read.option("basePath", self.data_dir).parquet(*paths)
         elif not deltas:
@@ -1004,4 +1152,52 @@ class SnapshotTable:
         if deltas:
             merged = self._merged_state(spark, m)
             df = merged if df is None else df.select(merged.columns).unionByName(merged)
+        return df
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """``read`` restricted to ``{col: (lo, hi)}`` closed ranges, with
+        manifest-level FILE SKIPPING: base files whose recorded [min, max]
+        (see ``stat_cols``) cannot intersect a range are never handed to the
+        scan — the Iceberg manifest-pruning model, decided driver-side from
+        the manifest alone (no file footer is opened, no job runs). The same
+        range predicates are also applied as row filters (and pushed to the
+        parquet reader for row-group skipping within surviving files), so the
+        result is EXACTLY ``read().where(lo <= col <= hi ...)`` — pruning can
+        only remove files that contain no matching rows.
+
+        Files or columns without stats are kept (absent stats never prune);
+        buckets with pending merge-on-read deltas load through the merged
+        path and are filtered row-wise. A bound of ``None`` leaves that side
+        open (``(lo, None)`` = ``col >= lo``)."""
+        m = (
+            self.current()
+            if version is None
+            else self.store.read_version(version)
+        )
+        stats = (m or {}).get("stats", {})
+
+        def keep(b: str, f: str) -> bool:
+            fstats = stats.get(b, {}).get(f)
+            if not fstats:
+                return True
+            for c, (lo, hi) in ranges.items():
+                s = fstats.get(c)
+                if s is None:
+                    continue
+                mn, mx = s
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    return False
+            return True
+
+        df = self.read(spark, version, _keep_file=keep)
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.where(F.col(c) >= lo)
+            if hi is not None:
+                df = df.where(F.col(c) <= hi)
         return df

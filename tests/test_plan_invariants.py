@@ -27,6 +27,7 @@ EAGER = {
     "ann_topk",
     "embedding_neardup_lsh",
     "snapshot_lineage",
+    "snapshot_prune",
     "neardup_components",
     "corpus_select_neardup",
 }

@@ -264,11 +264,13 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "snapshot_prune",
         "exact_dedup",
         "corpus_select",
+        "corpus_mix",
         "minhash_buckets",
         "simhash",
         "ann_topk",
         "ann_ivf",
         "ann_ivf_kmeans",
+        "doc_clusters",
         "embedding_neardup_lsh",
         "token_counts",
         "quality_scores",

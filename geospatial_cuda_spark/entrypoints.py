@@ -1092,6 +1092,27 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("q_vec_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
+DOC_CLUSTERS_K = 16
+
+
+def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic document clustering (embedding-space data mixing): every
+    embedding assigned to its nearest of 16 md5-sample centroids, rolled up
+    per cluster. Hash-gated end to end — the oracle re-derives the centroid
+    set, the rounded-cosine argmax assignment, and the per-cluster members
+    exactly; the per-member similarity crosses the gate as an exact integer
+    sum of the 6-dp-scaled sims (float addition order never crosses the
+    engine boundary). The kmeans-refined variant is pytest-gated
+    (not SQL-replayable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = K.cluster_assign(emb, DOC_CLUSTERS_K)
+    return a.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_vec"),
+        F.sum(F.round(F.col("sim") * 1e6).cast("long")).alias("sim6_sum"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked cosine near-dup pairs (sim ≥ 0.4 — threshold chosen so the
     fixture corpus yields non-trivial pairs; production corpora use ≥0.95)."""
@@ -1188,6 +1209,63 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_cols = ["doc_id", "quality", "n_tok"]
     return in_full.select(out_cols).unionByName(part.select(out_cols))
+
+
+MIX_CLUSTERS = 8
+MIX_BUDGET_PER_CLUSTER = 1_500
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced data mixing — the pass that turns a curated corpus
+    into a TRAINING MIX: assign every doc to a semantic cluster
+    (`cluster_assign` over its embedding), then give each cluster the same
+    token budget, filled highest-quality-first (doc_id tie-break). Equal
+    per-cluster budgets rebalance the corpus toward uniform domain coverage
+    (the head cluster is capped, the tail clusters are taken whole).
+
+    Scale shape: the budget cut is `corpus_sample`'s two-phase histogram
+    PER CLUSTER — the (cluster × quality-bin) token histogram is tiny, the
+    cumulative window runs over the histogram partitioned by cluster (never
+    a global or per-cluster row sort), and only each cluster's single
+    BOUNDARY bin needs a row-level ordered scan. All joins against the
+    histogram products are broadcasts."""
+    from pyspark.sql import Window
+
+    B = MIX_BUDGET_PER_CLUSTER
+    sel = q_corpus_select(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    cl = K.cluster_assign(emb, MIX_CLUSTERS).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    d = sel.join(cl, on="doc_id").withColumn(
+        "_bin", F.round(F.col("quality") * 10000).cast("long")
+    )
+    bs = d.groupBy("cluster", "_bin").agg(F.sum("n_tok").alias("_btok"))
+    wc = Window.partitionBy("cluster").orderBy(F.desc("_bin"))
+    cum = bs.withColumn("_cum", F.sum("_btok").over(wc))
+    full = cum.where(F.col("_cum") <= B).select("cluster", "_bin")
+    # bins with _cum > B form a suffix of each cluster's bin order; the
+    # first of that suffix is the cluster's boundary bin (window recomputed
+    # on the filtered relation — rn=1 is the highest such bin)
+    boundary = (
+        cum.where(F.col("_cum") > B)
+        .withColumn("_rn", F.row_number().over(wc))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster",
+            "_bin",
+            (F.lit(B) - (F.col("_cum") - F.col("_btok"))).alias("_left"),
+        )
+    )
+    in_full = d.join(F.broadcast(full), on=["cluster", "_bin"], how="left_semi")
+    wd = Window.partitionBy("cluster", "_bin").orderBy("doc_id")
+    part = (
+        d.join(F.broadcast(boundary), on=["cluster", "_bin"])
+        .withColumn("_c", F.sum("n_tok").over(wd))
+        .where(F.col("_c") <= F.col("_left"))
+    )
+    out = ["cluster", "doc_id", "quality", "n_tok"]
+    return in_full.select(out).unionByName(part.select(out))
 
 
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1580,6 +1658,52 @@ WHERE c <= leftover
 """
     )
 
+    # ----- corpus_mix: the per-cluster variant of corpus_sample's histogram
+    # cut. Reuses the doc_clusters centroid/assignment CTEs (MIX_CLUSTERS
+    # centroids) joined to the curated corpus; every window is PARTITION BY
+    # cluster. -----
+    cos_mix = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])))), 6)"
+    )
+    sqls["corpus_mix"] = (
+        corpus_q_cte
+        + f""", cents AS (
+  SELECT vec_id AS cid, embedding AS cv,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+  FROM embeddings
+  QUALIFY cidx < {MIX_CLUSTERS}),
+ec AS (
+  SELECT e.vec_id, c.cidx, {cos_mix} AS csim
+  FROM embeddings e CROSS JOIN cents c),
+asg AS (
+  SELECT vec_id, cidx AS cluster FROM ec
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cidx ASC) = 1),
+b AS (SELECT asg.cluster, CAST(round(q.quality * 10000) AS BIGINT) AS bin,
+             q.doc_id, q.quality, q.n_tok
+      FROM q JOIN asg ON asg.vec_id = q.doc_id
+      WHERE q.quality >= {CORPUS_QUALITY_MIN}),
+bs AS (SELECT cluster, bin, SUM(n_tok) AS btok FROM b GROUP BY cluster, bin),
+cum AS (SELECT cluster, bin, btok,
+               SUM(btok) OVER (PARTITION BY cluster ORDER BY bin DESC) AS cumsum
+        FROM bs),
+bd AS (SELECT cluster, bin, {MIX_BUDGET_PER_CLUSTER} - (cumsum - btok) AS leftover
+       FROM cum WHERE cumsum > {MIX_BUDGET_PER_CLUSTER}
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY bin DESC) = 1)
+SELECT CAST(b.cluster AS INT) AS cluster, b.doc_id, b.quality, b.n_tok
+FROM b JOIN (SELECT cluster, bin FROM cum
+             WHERE cumsum <= {MIX_BUDGET_PER_CLUSTER}) f
+  ON f.cluster = b.cluster AND f.bin = b.bin
+UNION ALL
+SELECT CAST(cluster AS INT) AS cluster, doc_id, quality, n_tok FROM (
+  SELECT x.cluster, x.doc_id, x.quality, x.n_tok, bd.leftover,
+         SUM(x.n_tok) OVER (PARTITION BY x.cluster, x.bin ORDER BY x.doc_id) AS c
+  FROM b x JOIN bd ON x.cluster = bd.cluster AND x.bin = bd.bin) t
+WHERE c <= leftover
+"""
+    )
+
     sqls["doc_fingerprints"] = r"""
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
@@ -1683,6 +1807,27 @@ scored AS (
 ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, vec_id ASC) AS rnk
            FROM scored)
 SELECT q_vec_id, vec_id, sim, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 10
+"""
+
+    # ----- doc_clusters: identical centroid sample + argmax assignment as
+    # ann_ivf's CTEs, rolled up per cluster; sims cross the gate as exact
+    # integer sums of the 6-dp-scaled values. -----
+    sqls["doc_clusters"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+  FROM embeddings
+  QUALIFY cidx < {DOC_CLUSTERS_K}),
+ec AS (
+  SELECT e.vec_id, c.cidx, {cos_ec} AS csim
+  FROM embeddings e CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cidx, csim FROM ec
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cidx ASC) = 1)
+SELECT CAST(cidx AS INT) AS cluster, COUNT(*) AS n_members,
+       MIN(vec_id) AS min_vec,
+       CAST(SUM(CAST(round(csim * 1000000, 0) AS BIGINT)) AS BIGINT) AS sim6_sum
+FROM assign GROUP BY cidx
 """
 
     cos_ab = (
@@ -2207,11 +2352,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_select": q_corpus_select,
     "corpus_select_neardup": q_corpus_select_neardup,
     "corpus_sample": q_corpus_sample,
+    "corpus_mix": q_corpus_mix,
     "minhash_buckets": q_minhash_buckets,
     "ngram_jaccard_topk": q_ngram_jaccard_topk,
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "doc_clusters": q_doc_clusters,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "mutation_cells": q_mutation_cells,

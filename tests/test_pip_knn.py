@@ -458,3 +458,45 @@ def test_pip_join_multiring(spark):
             if _naive_pip(x, y, rings, rule)
         }
         assert got == want, rule
+
+
+def test_cluster_assign_matches_numpy_and_kmeans_refines(spark):
+    """cluster_assign: (a) the sample-quantizer assignment equals a numpy
+    re-derivation (md5-ordered centroids, rounded-cosine argmax, lowest-index
+    tie-break); (b) the kmeans quantizer yields mean member→centroid cosine
+    ≥ the sample quantizer's (the refinement claim, mirroring the IVF recall
+    gate); (c) every doc is assigned exactly once."""
+    import hashlib
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, 8, size=300)
+    vecs = (centers[assign] + rng.normal(scale=0.1, size=(300, 32))).astype(np.float32)
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist()
+    k = 8
+
+    got = K.cluster_assign(emb, k).toPandas().sort_values("vec_id", ignore_index=True)
+    assert len(got) == 300 and got["vec_id"].is_unique
+
+    # numpy oracle: identical centroid choice + rounded argmax
+    order = sorted(range(300), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = np.array([vecs[i] for i in order[:k]], dtype=np.float64)
+    x = vecs.astype(np.float64)
+    sims = (x @ cents.T) / (
+        np.linalg.norm(x, axis=1, keepdims=True) * np.linalg.norm(cents, axis=1)
+    )
+    from geospatial_cuda_spark.util import round_half_away
+
+    sims = round_half_away(sims, 6)
+    want = np.argmax(sims, axis=1)
+    assert (got["cluster"].to_numpy() == want).all()
+    assert np.array_equal(
+        got["sim"].to_numpy(), sims[np.arange(300), want]
+    )
+
+    mean_sample = got["sim"].mean()
+    km = K.cluster_assign(emb, k, quantizer="kmeans").toPandas()
+    assert km["sim"].mean() >= mean_sample
+    emb.unpersist()

@@ -25,6 +25,8 @@ EAGER = {
     "knn_cells",
     "ann_ivf",
     "ann_topk",
+    "doc_clusters",
+    "corpus_mix",
     "embedding_neardup_lsh",
     "snapshot_lineage",
     "snapshot_prune",

@@ -76,6 +76,16 @@ _CELLS_CACHE_MAX = 6  # index relations per app; LRU-evicted (ADVICE r2:
 # unbounded growth across datasets was a slow cache leak in long sessions)
 
 
+def release_index(df: DataFrame) -> None:
+    """Unpersist an index relation AND the internal persists its build
+    grafted onto it (``_graft_persists`` — e.g. build_cells' per-level
+    counts). The single release point for every cache-eviction site; a
+    site that only called ``df.unpersist()`` would leak the dependents."""
+    df.unpersist()
+    for dep in getattr(df, "_graft_persists", []):
+        dep.unpersist()
+
+
 def _cached_index(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     """Per-(application, dataset) cache of the engine's INDEX relations.
 
@@ -91,10 +101,7 @@ def _cached_index(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFra
     _CELLS_CACHE[key] = df
     while len(_CELLS_CACHE) > _CELLS_CACHE_MAX:
         oldest = next(iter(_CELLS_CACHE))  # insertion order = LRU order
-        evicted = _CELLS_CACHE.pop(oldest)
-        evicted.unpersist()
-        for dep in getattr(evicted, "_graft_persists", []):  # internal counts
-            dep.unpersist()
+        release_index(_CELLS_CACHE.pop(oldest))
     return df
 
 

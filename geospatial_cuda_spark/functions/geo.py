@@ -54,7 +54,10 @@ def _spread_bits_2d(v: Column, bits: int) -> Column:
     ``bits``-bit long (closed-form magic-mask form — 4 shift/and/or pairs,
     whole-stage codegen, no per-bit Column chain; cf. the Janino-tax note on
     closed-form cell arithmetic in operators/quadtree.py)."""
-    assert bits <= 32
+    # bits ≤ 31: the 2-column interleave puts column 1's top bit at position
+    # 2·bits−1; at bits=32 that is bit 63 — the LONG SIGN BIT — and high-key
+    # rows would sort BEFORE low-key rows, silently destroying the clustering
+    assert bits <= 31
     out = v.cast("long")
     for shift, mask in (
         (16, 0x0000FFFF0000FFFF),
@@ -85,6 +88,11 @@ def zorder_key(
     ranges of the raw columns, not the key)."""
     if len(cols_bounds) != 2:
         raise ValueError("zorder_key supports exactly 2 columns")
+    if not 1 <= bits <= 31:
+        raise ValueError(
+            f"bits={bits} out of range [1, 31]: the interleaved key must fit "
+            "the 63 value bits of a signed long (bit 63 would flip the sort)"
+        )
     n = 1 << bits
     parts = []
     for i, (c, lo, hi) in enumerate(cols_bounds):
@@ -100,6 +108,8 @@ def zorder_key(
 
 def zorder_np(xs: np.ndarray, ys: np.ndarray, bounds, bits: int = 16) -> np.ndarray:
     """Numpy twin of ``zorder_key`` for golden tests (same clamp + interleave)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits={bits} out of range [1, 31] (see zorder_key)")
     (xlo, xhi), (ylo, yhi) = bounds
     n = 1 << bits
 

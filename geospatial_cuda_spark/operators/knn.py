@@ -33,15 +33,6 @@ from ..functions.vectors import pair_cosine_rounded
 from .quadtree import ancestor_col
 
 
-def _topk(joined: DataFrame, qid: str, k: int, dist_col, order_tiebreak: str) -> DataFrame:
-    w = Window.partitionBy(qid).orderBy(dist_col.asc(), F.col(order_tiebreak).asc())
-    return (
-        joined.withColumn("dist2", dist_col)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
-
-
 def knn_bruteforce(
     queries: DataFrame,
     points: DataFrame,

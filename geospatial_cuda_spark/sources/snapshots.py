@@ -239,7 +239,10 @@ class CasFileManifestStore(ManifestStore):
     def latest_hint(self) -> int:
         try:
             with open(os.path.join(self.manifest_dir, "CURRENT")) as f:
-                return int(f.read().strip()[1:-5])  # "v{k}.token"
+                name = f.read().strip()  # "v{k}.token"
+            if name.startswith("v") and name.endswith(".token"):
+                return int(name[1:-6])
+            return 0
         except (FileNotFoundError, ValueError, IndexError):
             return 0
 
@@ -437,6 +440,8 @@ class SnapshotTable:
             md = pq.ParquetFile(p).metadata
             col_stats: dict[str, list] = {}
             bad: set[str] = set()
+            if not wanted:  # row-count-only callers skip the footer walk
+                return os.path.basename(p), md.num_rows, col_stats
             for rg_i in range(md.num_row_groups):
                 rg = md.row_group(rg_i)
                 for c_i in range(rg.num_columns):
@@ -847,36 +852,34 @@ class SnapshotTable:
         spark: SparkSession,
         manifest: dict,
         buckets: list[str],
-        compacted: dict[str, list[str]],
+        compacted: dict[str, tuple[list[str], dict]],
         compact_rows: dict[str, int],
     ) -> None:
         """Rewrite the merged (base ⊕ deltas) state of ``buckets`` as fresh
         base files and clear their deltas — mutates ``manifest`` in place
         before publish. The physical write runs once; a CAS retry reuses the
-        already-written files (``compacted`` caches them)."""
+        already-written files (``compacted`` caches per bucket a
+        ``(file_list, stats)`` pair so the retry re-applies them without
+        re-reading footers)."""
         bucket_col = manifest["bucket_col"]
         if not compacted:
             merged = self._merged_state(spark, manifest, restrict=buckets)
             moved = self._write_append_tracked(merged, bucket_col)
             for b in buckets:
-                compacted[b] = moved.get(b, [])
-                if compacted[b]:
+                files_b, st = moved.get(b, []), {}
+                if files_b:
                     compact_rows[b], st = self._footer_rows_stats(
                         os.path.join(self.data_dir, f"{bucket_col}={b}"),
-                        set(compacted[b]),
+                        set(files_b),
                         self.stat_cols,
                     )
-                    # cache the new files' stats alongside the file list so a
-                    # CAS-retried build (which reuses ``compacted``) re-applies
-                    # them without re-reading footers
-                    compacted[b] = [compacted[b], st]
+                compacted[b] = (files_b, st)
         for b in buckets:
             manifest["deltas"].pop(b, None)
             # the parent's stats describe the REPLACED files — always drop
             manifest.get("stats", {}).pop(b, None)
-            entry = compacted.get(b)
-            if entry and entry[0]:
-                files_b, st = entry
+            files_b, st = compacted.get(b, ((), {}))
+            if files_b:
                 manifest["files"][b] = files_b
                 manifest["buckets"][b] = compact_rows[b]
                 if st:
@@ -1104,6 +1107,7 @@ class SnapshotTable:
         spark: SparkSession,
         version: int | None = None,
         _keep_file=None,
+        _manifest: dict | None = None,
     ) -> DataFrame:
         """Committed data only: load EXACTLY the manifest's file set (crash
         residue and expired snapshots' files in the data dir are never
@@ -1115,7 +1119,9 @@ class SnapshotTable:
         never touch prior versions' files — until ``vacuum`` expires the
         files CURRENT no longer references (Iceberg's expire_snapshots
         contract: vacuumed history is gone by design)."""
-        if version is None:
+        if _manifest is not None:
+            m = _manifest
+        elif version is None:
             m = self.current()
             if m is None:
                 raise FileNotFoundError(f"no committed snapshot at {self.path}")
@@ -1179,7 +1185,13 @@ class SnapshotTable:
             if version is None
             else self.store.read_version(version)
         )
-        stats = (m or {}).get("stats", {})
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed snapshot at {self.path}"
+                if version is None
+                else f"no snapshot v{version} at {self.path}"
+            )
+        stats = m.get("stats", {})
 
         def keep(b: str, f: str) -> bool:
             fstats = stats.get(b, {}).get(f)
@@ -1194,7 +1206,11 @@ class SnapshotTable:
                     return False
             return True
 
-        df = self.read(spark, version, _keep_file=keep)
+        # thread the already-resolved manifest into read(): prune decisions
+        # and the scanned file set come from the SAME version (a concurrent
+        # commit between two current() calls could otherwise split them),
+        # and each read_where pays ONE manifest resolution, not two
+        df = self.read(spark, version, _keep_file=keep, _manifest=m)
         for c, (lo, hi) in ranges.items():
             if lo is not None:
                 df = df.where(F.col(c) >= lo)

@@ -59,6 +59,24 @@ def test_zorder_key_matches_numpy(spark):
     assert want.min() >= 0 and want.max() <= n * n - 1
 
 
+def test_zorder_bits_32_rejected():
+    """bits=32 would land column 1's top interleaved bit on the long SIGN
+    bit — high-key rows sort before low-key rows and the clustering silently
+    inverts — so both the Column builder and the numpy twin refuse it."""
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key([("x", 0, W), ("y", 0, W)], bits=32)
+    with pytest.raises(ValueError, match="bits"):
+        zorder_np(np.zeros(1), np.zeros(1), [(0, W), (0, W)], bits=32)
+    # bits=31 (max) stays non-negative: sign bit untouched
+    big = zorder_np(
+        np.array([W - 1e-9]), np.array([W - 1e-9]), [(0, W), (0, W)], bits=31
+    )
+    assert big[0] > 0
+
+
 def test_stats_recorded_and_pruned_read_matches_full(spark, tmp_path):
     df, pdf = _points_df(spark)
     snap = SnapshotTable(

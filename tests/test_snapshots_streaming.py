@@ -718,6 +718,9 @@ def test_casfile_store_cas_rollforward_and_torn_token(spark, bucketed_df, tmp_pa
     # crash between publish and hint: hint stale, reader rolls forward
     assert store.try_publish(2, {"version": 2, "snapshot_id": "c"})  # no hint set
     store.set_latest_hint(1)
+    # a VALID hint must round-trip (a hint that never parses silently turns
+    # every read into a full O(versions) roll-forward from v1)
+    assert store.latest_hint() == 1
     snap = SnapshotTable(str(tmp_path / "t"), store=store)
     assert snap.current()["version"] == 2
 

@@ -2197,6 +2197,28 @@ FROM pts JOIN boxes b
 GROUP BY b.box_id
 """
 
+    # snapshot_incremental: the incremental-read contract re-derived from the
+    # raw orders relation. The Spark side appends generation g = o_orderkey%3
+    # as snapshot v(g+1) and aggregates read_changes(from_v, 3) for every
+    # from-version; the oracle knows increment (from_v → 3) is exactly the
+    # generations from_v..2, and that the v3→v3 increment is EMPTY (no output
+    # row) — a double-counted, missed, or phantom file breaks the sums.
+    sqls["snapshot_incremental"] = """
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS okey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey % 3 AS gen
+  FROM orders),
+inc AS (
+  SELECT 1 AS from_version, okey, cents FROM o WHERE gen IN (1, 2)
+  UNION ALL
+  SELECT 2 AS from_version, okey, cents FROM o WHERE gen = 2)
+SELECT CAST(from_version AS INT) AS from_version, COUNT(*) AS n_rows,
+       CAST(SUM(okey) AS BIGINT) AS key_sum,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM inc GROUP BY from_version
+"""
+
     return sqls
 
 
@@ -2268,6 +2290,55 @@ def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption under the driver's hash gate: three appends
+    of disjoint order generations (o_orderkey % 3 → snapshot v1, v2, v3),
+    then ``read_changes(from_v, 3)`` for every from-version — the
+    version-watermarked ingest a training pipeline runs instead of
+    rescanning the table. The oracle re-derives each increment from the raw
+    orders relation (generation membership), so a file wrongly included
+    (double-ingest) or missed (lost data) breaks the count/key/cents sums;
+    the empty v3→v3 increment contributes no rows, pinning that a no-op
+    increment is genuinely empty. Reference analogue: the engine rebuilds
+    from the full text file every run (`cuda/inference.cu:24-49`); this is
+    the sink-side contract that makes rescans unnecessary."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "geospark_incr",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snap = SnapshotTable(root)
+    gen = F.pmod(F.col("o_orderkey"), F.lit(3))
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        gen.alias("gen"),
+        F.concat(
+            gen.cast("string"), F.lit("-"), F.pmod(F.col("o_orderkey"), F.lit(4)).cast("string")
+        ).alias("bucket"),
+    )
+    for g in (0, 1, 2):  # v1, v2, v3 — disjoint buckets per generation
+        snap.commit(orders.where(F.col("gen") == g).drop("gen"), "bucket")
+    out = None
+    for fv in (1, 2, 3):
+        inc = snap.read_changes(spark, fv, 3).withColumn(
+            "from_version", F.lit(fv).cast("int")
+        )
+        out = inc if out is None else out.unionByName(inc)
+    return out.groupBy("from_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("okey").alias("key_sum"),
+        F.sum("cents").alias("cents_sum"),
+    )
 
 
 def q_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2382,6 +2453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "snapshot_lineage": q_snapshot_lineage,
     "snapshot_prune": q_snapshot_prune,
+    "snapshot_incremental": q_snapshot_incremental,
 }
 
 ORACLES: dict[str, str] = _oracle_sqls()

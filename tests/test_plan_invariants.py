@@ -30,6 +30,7 @@ EAGER = {
     "embedding_neardup_lsh",
     "snapshot_lineage",
     "snapshot_prune",
+    "snapshot_incremental",
     "neardup_components",
     "corpus_select_neardup",
 }

@@ -761,3 +761,93 @@ def test_casfile_store_end_to_end_commit_delta_read(spark, bucketed_df, tmp_path
         bucketed_df.where(F.col("pid") % 3 != 0).select("pid", "bucket", "val")
     )
     assert got == want
+
+
+def _batch(spark, lo, hi):
+    """Rows with pid in [lo, hi) whose bucket values are unique to the range
+    (commit appends whole NEW buckets; reusing a bucket would conflict)."""
+    return spark.range(lo, hi).select(
+        F.col("id").alias("pid"),
+        F.concat(F.lit("b"), F.col("id") % 100).alias("bucket"),
+        (F.col("id") * 31 % 1000).alias("val"),
+    )
+
+
+def test_read_changes_append_only_chain(spark, tmp_path):
+    """read_changes(a, b) returns EXACTLY the rows added between the two
+    snapshots, and read(a) ∪ changes(a, b) == read(b) — the incremental
+    ingestion contract over a chain of pure appends."""
+    from geospatial_cuda_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(str(tmp_path / "t"))
+    b1 = _batch(spark, 0, 200)  # buckets b0..b99 (v1)
+    b2 = _batch(spark, 10_000, 10_150).withColumn(
+        "bucket", F.concat(F.lit("c"), F.col("pid") % 50)
+    )  # c0..c49 (v2)
+    b3 = _batch(spark, 20_000, 20_080).withColumn(
+        "bucket", F.concat(F.lit("d"), F.col("pid") % 20)
+    )  # d0..d19 (v3)
+    snap.commit(b1, "bucket")
+    snap.commit(b2, "bucket")
+    snap.commit(b3, "bucket")
+
+    cols = ["pid", "bucket", "val"]
+    assert _rows(snap.read_changes(spark, 1).select(*cols)) == _rows(
+        b2.select(*cols).unionByName(b3.select(*cols))
+    )
+    assert _rows(snap.read_changes(spark, 2, 3).select(*cols)) == _rows(
+        b3.select(*cols)
+    )
+    # a == b: empty increment, schema preserved
+    none = snap.read_changes(spark, 3, 3)
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == [
+        f.name for f in snap.read(spark).schema.fields
+    ]
+    # union invariant
+    assert _rows(
+        snap.read(spark, version=1)
+        .select(*cols)
+        .unionByName(snap.read_changes(spark, 1, 3).select(*cols))
+    ) == _rows(snap.read(spark, version=3).select(*cols))
+
+
+def test_read_changes_refuses_non_append_steps(spark, tmp_path):
+    """Any step that replaced files or touched MOR delta state inside the
+    range raises SnapshotIncrementalError (the Iceberg refuse-don't-guess
+    rule); ranges outside the chain raise cleanly."""
+    import pytest
+
+    from geospatial_cuda_spark.sources.snapshots import (
+        SnapshotIncrementalError,
+        SnapshotTable,
+    )
+
+    snap = SnapshotTable(str(tmp_path / "t"))
+    b1 = _batch(spark, 0, 200)
+    snap.commit(b1, "bucket")  # v1
+    snap.overwrite_buckets(
+        b1.where(F.col("bucket") == "b3"), "bucket", ["b3"]
+    )  # v2: file replacement
+    snap.commit(
+        _batch(spark, 10_000, 10_050).withColumn(
+            "bucket", F.concat(F.lit("c"), F.col("pid") % 10)
+        ),
+        "bucket",
+    )  # v3: clean append on top
+    with pytest.raises(SnapshotIncrementalError, match="b3"):
+        snap.read_changes(spark, 1)  # overwrite inside the range
+    # the appended-only suffix is still readable incrementally
+    assert snap.read_changes(spark, 2, 3).count() == 50
+
+    delta = (
+        b1.where(F.col("pid") == 7)
+        .withColumn("_op", F.lit("d"))
+    )
+    snap.append_deltas(delta, "bucket", None, key_cols=["pid"])  # v4
+    with pytest.raises(SnapshotIncrementalError, match="delta"):
+        snap.read_changes(spark, 3)
+    with pytest.raises(ValueError, match="from_version"):
+        snap.read_changes(spark, 0)
+    with pytest.raises(ValueError, match="from_version"):
+        snap.read_changes(spark, 9, 4)

@@ -1299,12 +1299,15 @@ class SnapshotTable:
         if m_from["version"] != from_version:  # pragma: no cover
             raise SnapshotIncrementalError("version chain did not close")
         bucket_col = m_to["bucket_col"]
+        # .get: a from==to call never enters the chain walk (which is what
+        # rejects legacy manifests without file lists), and its increment is
+        # empty either way
         old = {
-            (b, f) for b, fs in m_from["files"].items() for f in fs
+            (b, f) for b, fs in m_from.get("files", {}).items() for f in fs
         }
         paths = [
             os.path.join(self.data_dir, f"{bucket_col}={b}", f)
-            for b, fs in m_to["files"].items()
+            for b, fs in m_to.get("files", {}).items()
             for f in fs
             if (b, f) not in old
         ]

@@ -87,6 +87,23 @@ def pair_cosine_rounded(a: Column, b: Column) -> Column:
     return _pair_cosine_rounded_udf(a, b)
 
 
+def pair_cosine_rounded_jvm(a: Column, b: Column, dim: int) -> Column:
+    """JVM twin of ``pair_cosine_rounded`` for a statically-known ``dim``:
+    the identical left-to-right double accumulation (``cosine_col_fixed``
+    unrolls elements 1..dim in the same order the Arrow kernel's ``for d``
+    loop adds them) and the identical binary half-away rounding
+    (``signum(c)·floor(|c|·1e6 + 0.5)/1e6`` — the same IEEE op sequence as
+    ``util.round_half_away``, including ``-1·0 = -0.0`` matching copysign),
+    so the two scorers are BIT-identical (pytest-pinned). Trade: one ~1.5 s
+    Janino compile of the ~3·dim-term tree per fresh plan, but ZERO
+    JVM↔Python transfer — the right side of the trade for a large standing
+    corpus×query product, where the Arrow kernel ships 2·dim float64 per
+    product row (ADVICE r4)."""
+    c = cosine_col_fixed(a, b, dim)
+    s = F.lit(10.0**6)
+    return F.signum(c) * F.floor(F.abs(c) * s + F.lit(0.5)) / s
+
+
 DOT_SQL = (
     "list_dot_product({a}, {b})"  # DuckDB spelling, kept here for reference
 )

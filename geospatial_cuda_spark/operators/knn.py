@@ -29,7 +29,7 @@ from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from .. import MAX_DEPTH
 from ..functions import cells as C
-from ..functions.vectors import pair_cosine_rounded
+from ..functions.vectors import pair_cosine_rounded, pair_cosine_rounded_jvm
 from .quadtree import ancestor_col
 
 
@@ -271,6 +271,8 @@ def ann_bruteforce(
     vec_id: str = "vec_id",
     emb: str = "embedding",
     qid: str = "q_vec_id",
+    scorer: str = "arrow",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine: broadcast queries, Arrow pair-scoring kernel,
     window top-k. Output sim is rounded to 6 dp through the shared
@@ -285,11 +287,21 @@ def ann_bruteforce(
     price of a ~1.5 s Janino compile of its ~3·dim-term tree on every fresh
     plan. The kernel wins for one-shot queries and bounded Q (the bench
     case); for a large standing corpus×query product where the one-time
-    compile amortizes, score with ``dot_col_fixed`` (functions/vectors.py)
-    instead — same rounded-sum semantics, JVM-side."""
+    compile amortizes, pass ``scorer="jvm"`` with the embedding ``dim``:
+    scoring stays inside whole-stage codegen via ``pair_cosine_rounded_jvm``,
+    which is BIT-identical to the Arrow kernel (same accumulation order,
+    same binary half-away rounding — pytest-pinned), so the choice moves
+    cost only, never results."""
+    if scorer not in ("arrow", "jvm"):
+        raise ValueError(f"scorer={scorer!r} not in ('arrow', 'jvm')")
     q = F.broadcast(query_vecs.select(F.col(vec_id).alias(qid), F.col(emb).alias("_qv")))
     joined = embeddings.crossJoin(q).where(F.col(vec_id) != F.col(qid))
-    sim = pair_cosine_rounded(F.col(emb), F.col("_qv"))
+    if scorer == "jvm":
+        if dim is None:
+            raise ValueError("scorer='jvm' needs the static embedding dim")
+        sim = pair_cosine_rounded_jvm(F.col(emb), F.col("_qv"), dim)
+    else:
+        sim = pair_cosine_rounded(F.col(emb), F.col("_qv"))
     w = Window.partitionBy(qid).orderBy(F.col("sim").desc(), F.col(vec_id).asc())
     return (
         joined.withColumn("sim", sim)

@@ -250,6 +250,7 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "quadrant_search_broadcast",
         "knn",
         "knn_cells",
+        "distance_join",
         "tile_assign",
         "tile_pyramid",
         "pip_rects",

@@ -408,6 +408,22 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join (ST_DWithin analogue): all (query, point) pairs within
+    Euclidean distance 20,000 — grid-blocked broadcast equi-join + exact
+    codegen distance filter; the points table never shuffles. Coords cast to
+    double so dist2 stays integer-exact (as q_knn)."""
+    as_double = lambda df: df.withColumn("x", F.col("x").cast("double")).withColumn(
+        "y", F.col("y").cast("double")
+    )
+    res = S.distance_join(
+        as_double(_queries(spark, sf_dir, limit=50)),
+        as_double(_points(spark, sf_dir)),
+        radius=20000.0,
+    )
+    return res.select("qid", "pid", F.col("dist2").cast("long").alias("dist2"))
+
+
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 id layer: zoom-4 web-mercator tile histogram over events points."""
     ev = _t(spark, sf_dir, "events").select(
@@ -1436,6 +1452,18 @@ FROM scored WHERE rnk <= 5
     # top-k SQL is its oracle too (identical distance + pid tie-break)
     sqls["knn_cells"] = sqls["knn"]
 
+    # brute-force re-derivation: the blocking grid is an engine choice, the
+    # semantics are just an inclusive distance predicate
+    sqls["distance_join"] = f"""
+WITH pts AS (SELECT {LPID} AS pid, {LX} AS x, {LY} AS y FROM lineitem),
+queries AS (SELECT CAST(c_custkey AS BIGINT) AS qid, {QX} AS x, {QY} AS y
+            FROM customer WHERE c_custkey <= 50)
+SELECT q.qid, p.pid,
+       CAST((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS BIGINT) AS dist2
+FROM queries q CROSS JOIN pts p
+WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= 400000000
+"""
+
     sqls["tile_assign"] = f"""
 WITH ev AS (SELECT {EX} AS x, {EY} AS y FROM events)
 SELECT {G.tile_x_sql('x', 4)} AS tile_x, {G.tile_y_sql('y', 4)} AS tile_y,
@@ -2411,6 +2439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_rollup": q_cell_rollup,
     "knn": q_knn,
     "knn_cells": q_knn_cells,
+    "distance_join": q_distance_join,
     "tile_assign": q_tile_assign,
     "tile_pyramid": q_tile_pyramid,
     "event_window_tiles": q_event_window_tiles,

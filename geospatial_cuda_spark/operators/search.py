@@ -19,6 +19,8 @@ resolve by max id), -1 when no boundary contains the point.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from .. import DOMAIN, MAX_DEPTH
@@ -123,6 +125,119 @@ def quadrant_search_prefix(
         cells_ids = F.broadcast(cells_ids)
     hits = cand.join(cells_ids, on="cell_id", how="inner")
     return _argmax_fill(queries, hits, qid)
+
+
+def choose_distance_depth(radius: float, domain=DOMAIN) -> int:
+    """Deepest grid whose cells are at least ``radius`` wide (capped at the
+    float32-exact JVM binning bound): the query bbox then overlaps at most a
+    3×3 bin rectangle, so per-query candidate generation is O(1)."""
+    ext = float(min(domain[2] - domain[0], domain[3] - domain[1]))
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    if radius >= ext:
+        return 0
+    return max(0, min(C._EXACT_JVM_DEPTH, int(math.floor(math.log2(ext / radius)))))
+
+
+def distance_join(
+    queries: DataFrame,
+    points: DataFrame,
+    radius: float,
+    qid: str = "qid",
+    x: str = "x",
+    y: str = "y",
+    depth: int | None = None,
+    domain=DOMAIN,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Radius join (the ST_DWithin analogue): every (query, point) pair with
+    Euclidean distance ≤ ``radius`` (inclusive), plus the exact squared
+    distance. Returns all ``points`` columns + ``qid`` + ``dist2``.
+
+    The reference engine has no radius query — this is the range-query twin
+    of its kNN surface (same grid machinery; distance is measured to the
+    point, unlike the cell-containment joins of kernels.cu:142-162).
+
+    Physical plan, chosen for the 100-TB shape (huge points, bounded queries):
+
+    1. every POINT gets ONE blocking key — its (col, row) grid bin at
+       ``depth`` packed into a long. NOT a quadkey: blocking keys never
+       leave the operator, so a 2-ceil pack replaces the per-level
+       interleave (pure whole-stage codegen either way).
+    2. every QUERY explodes to the grid rectangle its radius-r bbox
+       overlaps: per-axis bins of qx±r through the SAME binning function.
+       Binning is monotone (float32 rounding and ceil both are), so any
+       point within r bins inside the rectangle — conservative, never
+       misses. A pad of 1e-6 on each endpoint absorbs the one residual
+       double-rounding of (qx ± r) for non-lattice coordinates; on the
+       integer-lattice data model the endpoints are exact and the pad is
+       inert (bins are ≥ ext/2^10 ≈ 976 wide).
+    3. hash equi-join on the key. With a bounded query side (the default)
+       the rectangle relation broadcasts, so the points table NEVER
+       shuffles — one map-side join stage at any scale. For huge query
+       sides pass ``broadcast_queries=False`` and both sides shuffle on
+       the key.
+    4. exact distance filter in codegen: dist2 ≤ r² on double arithmetic —
+       integer-exact for lattice coords (|coord| < 2^26).
+
+    Each matching pair appears EXACTLY once: a point has one key and the
+    rectangle's keys are distinct — no post-join dedup.
+    """
+    if depth is None:
+        depth = choose_distance_depth(radius, domain)
+    n = 1 << depth
+    reserved = {qid, "_qx", "_qy", "_qkey", "dist2"}
+    clash = sorted(reserved & set(points.columns))
+    if clash:
+        raise ValueError(
+            f"points relation carries reserved column name(s) {clash} "
+            "(the operator's output/internal working set); rename them first"
+        )
+    xlo, ylo, xhi, yhi = domain[0], domain[1], domain[2], domain[3]
+    pkey = (
+        C._axis_bin_col(F.col(x), depth, xlo, xhi) * n
+        + C._axis_bin_col(F.col(y), depth, ylo, yhi)
+    ).alias("_qkey")
+    pts = points.select(F.col("*"), pkey)
+
+    pad = 1e-6
+    qx = F.col(x).cast("double")
+    qy = F.col(y).cast("double")
+    clo = C._axis_bin_col(qx - F.lit(radius + pad), depth, xlo, xhi)
+    chi = C._axis_bin_col(qx + F.lit(radius + pad), depth, xlo, xhi)
+    rlo = C._axis_bin_col(qy - F.lit(radius + pad), depth, ylo, yhi)
+    rhi = C._axis_bin_col(qy + F.lit(radius + pad), depth, ylo, yhi)
+    cand = (
+        queries.select(
+            F.col(qid),
+            qx.alias("_qx"),
+            qy.alias("_qy"),
+            F.explode(F.sequence(clo, chi)).alias("_qc"),
+            rlo.alias("_rlo"),
+            rhi.alias("_rhi"),
+        )
+        .select(
+            qid,
+            "_qx",
+            "_qy",
+            "_qc",
+            F.explode(F.sequence(F.col("_rlo"), F.col("_rhi"))).alias("_qr"),
+        )
+        .select(
+            qid, "_qx", "_qy", (F.col("_qc") * n + F.col("_qr")).alias("_qkey")
+        )
+    )
+    if broadcast_queries:
+        cand = F.broadcast(cand)
+    dist2 = (F.col(x).cast("double") - F.col("_qx")) * (
+        F.col(x).cast("double") - F.col("_qx")
+    ) + (F.col(y).cast("double") - F.col("_qy")) * (F.col(y).cast("double") - F.col("_qy"))
+    return (
+        pts.join(cand, on="_qkey", how="inner")
+        .withColumn("dist2", dist2)
+        .where(F.col("dist2") <= F.lit(float(radius) * float(radius)))
+        .drop("_qkey", "_qx", "_qy")
+    )
 
 
 def point_lookup(

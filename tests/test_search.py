@@ -130,3 +130,86 @@ def test_candidate_impls_agree(spark, world):
     assert [tuple(r) for r in a.select("qid", S.RESULT_COL).collect()] == [
         tuple(r) for r in b.select("qid", S.RESULT_COL).collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# distance_join (radius / ST_DWithin)
+# ---------------------------------------------------------------------------
+
+
+def _brute_pairs(qx, qy, px, py, r):
+    """All (qi, pi) index pairs within inclusive Euclidean distance r."""
+    dx = px[None, :].astype(np.float64) - qx[:, None].astype(np.float64)
+    dy = py[None, :].astype(np.float64) - qy[:, None].astype(np.float64)
+    return np.argwhere(dx * dx + dy * dy <= float(r) * float(r))
+
+
+def test_distance_join_matches_numpy_brute_force(spark):
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 1_000_000, 400).astype(np.float64)
+    py = rng.randint(0, 1_000_000, 400).astype(np.float64)
+    qx = rng.randint(0, 1_000_000, 40).astype(np.float64)
+    qy = rng.randint(0, 1_000_000, 40).astype(np.float64)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(400), "x": px, "y": py})
+    )
+    qs = spark.createDataFrame(pd.DataFrame({"qid": np.arange(40), "x": qx, "y": qy}))
+    for r in (50_000.0, 180_000.0):
+        got = (
+            S.distance_join(qs, pts, radius=r)
+            .select("qid", "pid")
+            .toPandas()
+            .sort_values(["qid", "pid"])
+            .to_numpy()
+        )
+        want = _brute_pairs(qx, qy, px, py, r)
+        assert np.array_equal(got, want), f"radius {r}"
+
+
+def test_distance_join_inclusive_boundary_and_bin_edges(spark):
+    """A point EXACTLY at distance r is kept (inclusive), one lattice step
+    beyond is dropped — including when query, point, and the r-offset all sit
+    exactly on blocking-grid bin boundaries (the conservative-rectangle edge
+    case the pad guards)."""
+    # depth for r=31250 is 5 -> bin width 31250: q at a bin corner, matches
+    # at exactly r along each axis land on bin boundaries too
+    r = 31_250.0
+    q = spark.createDataFrame(pd.DataFrame({"qid": [0], "x": [500_000.0], "y": [500_000.0]}))
+    pts = pd.DataFrame(
+        {
+            "pid": [0, 1, 2, 3, 4, 5],
+            "x": [500_000.0 - r, 500_000.0 + r, 500_000.0, 500_000.0, 500_000.0 + r + 1, 500_000.0],
+            "y": [500_000.0, 500_000.0, 500_000.0 - r, 500_000.0 + r, 500_000.0, 500_000.0 + r + 1],
+        }
+    )
+    got = (
+        S.distance_join(q, spark.createDataFrame(pts), radius=r)
+        .select("pid")
+        .toPandas()["pid"]
+        .sort_values()
+        .tolist()
+    )
+    assert got == [0, 1, 2, 3]
+
+
+def test_distance_join_reserved_columns_rejected(spark):
+    q = spark.createDataFrame(pd.DataFrame({"qid": [0], "x": [1.0], "y": [1.0]}))
+    p = spark.createDataFrame(pd.DataFrame({"dist2": [0.0], "x": [1.0], "y": [1.0]}))
+    with pytest.raises(ValueError, match="reserved"):
+        S.distance_join(q, p, radius=10.0)
+
+
+def test_distance_join_plan_broadcasts_queries_not_points(spark):
+    """Scale invariant: the points side must reach the join without an
+    exchange — the exploded query rectangle is the broadcast side."""
+    import contextlib, io
+
+    q = spark.createDataFrame(pd.DataFrame({"qid": [0], "x": [1.0], "y": [1.0]}))
+    p = spark.createDataFrame(pd.DataFrame({"pid": [0], "x": [1.0], "y": [1.0]}))
+    df = S.distance_join(q, p, radius=10.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

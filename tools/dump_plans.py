@@ -50,6 +50,16 @@ AUDIT = [
         ["MapInPandas", "Window"],
     ),
     (
+        "distance_join",
+        "Radius join (ST_DWithin): the POINTS side must reach the join with "
+        "NO exchange (one Project computes its blocking key in codegen "
+        "straight off the scan); the exploded query bbox-rectangle is the "
+        "BroadcastExchange side of a BroadcastHashJoin on the key; the exact "
+        "dist2 <= r^2 filter is JVM arithmetic (no Python eval nodes); "
+        "customer pushdown (c_custkey <= 50) reaches the parquet scan.",
+        ["BroadcastHashJoin", "PushedFilters"],
+    ),
+    (
         "knn_cells",
         "Cell-pruned exact kNN (first escalation round — audited via the "
         "per-round building block, because the contract query eagerly "

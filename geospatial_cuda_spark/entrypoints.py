@@ -2231,6 +2231,24 @@ GROUP BY b.box_id
     # from-version; the oracle knows increment (from_v → 3) is exactly the
     # generations from_v..2, and that the v3→v3 increment is EMPTY (no output
     # row) — a double-counted, missed, or phantom file breaks the sums.
+    # both arms re-derived from raw customer: v1 = half the buckets, seg
+    # unknown at that version; current = all rows, seg null exactly for the
+    # v1-era files (schema evolution must not backfill old data)
+    sqls["snapshot_evolution"] = """
+WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
+                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+                     CAST(c_custkey % 8 AS VARCHAR) AS bucket,
+                     c_mktsegment AS seg,
+                     c_custkey % 8 AS g
+              FROM customer)
+SELECT CAST(1 AS INT) AS version, ckey, cents, bucket, '' AS seg
+FROM cust WHERE g < 4
+UNION ALL
+SELECT CAST(2 AS INT) AS version, ckey, cents, bucket,
+       CASE WHEN g < 4 THEN '' ELSE seg END AS seg
+FROM cust
+"""
+
     sqls["snapshot_incremental"] = """
 WITH o AS (
   SELECT CAST(o_orderkey AS BIGINT) AS okey,
@@ -2369,6 +2387,53 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the driver's hash gate: v1 commits half the
+    customer buckets WITHOUT the segment column, v2 commits the rest WITH it
+    (union-by-name add-column, the Iceberg model). The result unions the
+    time-travel read of v1 (its own, narrower schema — ``seg`` re-added as
+    an explicit null so both arms align) with the current read, where v1-era
+    files must null-fill ``seg`` and v2 files carry values. The oracle
+    re-derives both arms from the raw customer relation, so a reader that
+    samples the wrong parquet footer (hiding or mistyping the evolved
+    column) or leaks v2 values into v1-era rows breaks the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "geospark_evo",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snap = SnapshotTable(root)
+    g = F.pmod(F.col("c_custkey"), F.lit(8))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("ckey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        g.cast("string").alias("bucket"),
+        F.col("c_mktsegment").alias("seg"),
+        g.alias("g"),
+    )
+    snap.commit(cust.where(F.col("g") < 4).drop("seg", "g"), "bucket")  # v1
+    snap.commit(cust.where(F.col("g") >= 4).drop("g"), "bucket")  # v2: + seg
+    v1 = (
+        snap.read(spark, version=1)
+        .withColumn("seg", F.lit(None).cast("string"))
+        .withColumn("version", F.lit(1).cast("int"))
+    )
+    v2 = snap.read(spark).withColumn("version", F.lit(2).cast("int"))
+    # nulls cross the driver's value-hash as a SENTINEL (no real segment is
+    # the empty string, so '' pins exactly "evolved column not backfilled")
+    return v1.unionByName(v2).select(
+        "version", "ckey", "cents", "bucket",
+        F.coalesce(F.col("seg"), F.lit("")).alias("seg"),
+    )
+
+
 def q_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 sink under the driver's hash gate (VERDICT r3 item 8): snapshot
     commit → merge-on-read delta append → lineage + merged read-back, all
@@ -2483,6 +2548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_lineage": q_snapshot_lineage,
     "snapshot_prune": q_snapshot_prune,
     "snapshot_incremental": q_snapshot_incremental,
+    "snapshot_evolution": q_snapshot_evolution,
 }
 
 ORACLES: dict[str, str] = _oracle_sqls()

@@ -48,6 +48,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
@@ -59,6 +60,14 @@ class SnapshotIncrementalError(RuntimeError):
     contract would silently double-count or miss rows — the Iceberg
     incremental-append-scan rule: refuse and let the caller fall back to a
     full ``read`` of the target version."""
+
+
+class SnapshotSchemaError(RuntimeError):
+    """A write's schema conflicts with the table's committed schema: a
+    same-named column with a DIFFERENT type. Adding new columns is schema
+    evolution and is allowed (old files read back null for them); silently
+    re-typing a column is not — readers of old files would see values under
+    the wrong type. Write the new representation under a new column name."""
 
 
 class SnapshotConflictError(RuntimeError):
@@ -371,6 +380,62 @@ class SnapshotTable:
         dl = (m.get("deltas") or {}) if m else {}
         return {b: (bk.get(b), fl.get(b), dl.get(b)) for b in buckets}
 
+    # -- schema evolution -----------------------------------------------------
+
+    @staticmethod
+    def _nullable_fields(schema: StructType) -> list[dict]:
+        """Manifest form of a write's schema: StructType field dicts with
+        nullability forced TRUE — parquet reality, since a file written
+        before a column existed reads back null for it regardless of what
+        the writer's DataFrame declared."""
+        out = []
+        for f in schema.jsonValue()["fields"]:
+            out.append({"name": f["name"], "type": f["type"], "nullable": True,
+                        "metadata": {}})
+        return out
+
+    @staticmethod
+    def _evolved_fields(
+        parent: dict | None, fields: list[dict], context: str
+    ) -> list[dict] | None:
+        """Union-by-name schema evolution (the Iceberg add-column model):
+        committed columns keep their position and type; a write may ADD new
+        columns (appended, old files read back null) or OMIT committed ones
+        (its files read back null for them); a same-named column with a
+        different type raises SnapshotSchemaError. Returns None — "stay
+        schema-less" — for legacy tables whose manifests predate schema
+        tracking: their existing files' columns are unknown, so pinning a
+        read schema from one write could silently hide legacy columns."""
+        if parent is None:
+            return fields
+        pf = parent.get("schema")
+        if pf is None:
+            return None
+        have = {f["name"]: f["type"] for f in pf}
+        for f in fields:
+            t = have.get(f["name"])
+            if t is not None and t != f["type"]:
+                raise SnapshotSchemaError(
+                    f"{context}: column {f['name']!r} has type {f['type']!r} "
+                    f"but the table committed it as {t!r} — type changes are "
+                    "not supported; add a new column instead"
+                )
+        merged = [dict(x) for x in pf]
+        merged += [f for f in fields if f["name"] not in have]
+        return merged
+
+    @staticmethod
+    def _manifest_schema(m: dict) -> StructType | None:
+        """The snapshot's table schema as a StructType (None for legacy
+        manifests). Passed as the EXPLICIT read schema so files written
+        before a column evolution read back null for the later columns —
+        without it Spark samples one file's footer and the result depends
+        on which file it picks."""
+        f = m.get("schema")
+        if not f:
+            return None
+        return StructType.fromJson({"type": "struct", "fields": f})
+
     def _publish_retry(self, parent: dict | None, build, max_retries: int = 5) -> dict:
         """Optimistic-concurrency publish: ``build(parent)`` merges this
         writer's bucket updates into ``parent``'s maps, raising
@@ -607,9 +672,11 @@ class SnapshotTable:
                     df.unpersist()
         wall = time.time() - t0
         bucket_type = df.schema[bucket_col].dataType.simpleString()
+        in_fields = self._nullable_fields(df.schema)
         state: dict = {}
 
         def build(p: dict | None) -> dict:
+            schema = self._evolved_fields(p, in_fields, "commit")
             done_b = dict(p["buckets"]) if p else {}
             # lazy legacy backfill: the O(#buckets) directory listing is
             # only needed when the parent manifest predates file lists
@@ -636,6 +703,7 @@ class SnapshotTable:
                 "bucket_type": bucket_type,
                 "buckets": {**done_b, **my_rows},
                 "files": {**done_f, **my_files},
+                **({"schema": schema} if schema else {}),
                 **({"stats": all_stats} if all_stats else {}),
                 **({"deltas": p["deltas"]} if p and p.get("deltas") else {}),
                 **({"delta_key": p["delta_key"]} if p and "delta_key" in p else {}),
@@ -693,6 +761,7 @@ class SnapshotTable:
                 new_stats[b] = st
         wall = time.time() - t0
         bucket_type = df.schema[bucket_col].dataType.simpleString()
+        in_fields = self._nullable_fields(df.schema)
         orig_entries = self._bucket_entries(parent, bset)
 
         def build(p: dict | None) -> dict:
@@ -701,6 +770,7 @@ class SnapshotTable:
                     "touched buckets changed under a concurrent snapshot; "
                     "recompute the survivors from the new current state"
                 )
+            schema = self._evolved_fields(p, in_fields, "overwrite_buckets")
             done_b = dict(p["buckets"]) if p else {}
             # lazy legacy backfill: the O(#buckets) directory listing is
             # only needed when the parent manifest predates file lists
@@ -726,6 +796,7 @@ class SnapshotTable:
                 "bucket_type": bucket_type,
                 "buckets": new_buckets,
                 "files": kept_files,
+                **({"schema": schema} if schema else {}),
                 **({"stats": kept_stats} if kept_stats else {}),
                 **({"deltas": kept_deltas} if kept_deltas else {}),
                 **({"delta_key": p["delta_key"]} if p and "delta_key" in p else {}),
@@ -796,6 +867,10 @@ class SnapshotTable:
         new_files = {b: moved.get(b, []) for b in bset}
         wall = time.time() - t0
         bucket_type = df.schema[bucket_col].dataType.simpleString()
+        # the op column is batch transport, not table state — evolve without it
+        in_fields = [
+            f for f in self._nullable_fields(df.schema) if f["name"] != op_col
+        ]
         compacted: dict[str, list[str]] = {}
         compact_rows: dict[str, int] = {}
         orig_entries = self._bucket_entries(parent, bset)
@@ -805,6 +880,7 @@ class SnapshotTable:
                 raise SnapshotConflictError(
                     "touched buckets changed under a concurrent snapshot"
                 )
+            schema = self._evolved_fields(p, in_fields, "append_deltas")
             done_b = dict(p["buckets"]) if p else {}
             # lazy legacy backfill: the O(#buckets) directory listing is
             # only needed when the parent manifest predates file lists
@@ -824,6 +900,7 @@ class SnapshotTable:
                 "bucket_type": bucket_type,
                 "buckets": done_b,
                 "files": done_f,
+                **({"schema": schema} if schema else {}),
                 **({"stats": done_s} if done_s else {}),
                 "deltas": done_d,
                 "delta_key": list(key_cols),
@@ -938,14 +1015,30 @@ class SnapshotTable:
                     os.path.join(self.delta_dir, f"{bucket_col}={b}", f) for f in files
                 )
 
-        def _read(root: str, paths: list[str]) -> DataFrame:
-            df = spark.read.option("basePath", root).parquet(*paths)
-            return df.withColumn(bucket_col, F.col(bucket_col).cast(m["bucket_type"]))
+        st = self._manifest_schema(m)
 
-        first_delta = _read(self.delta_dir, by_seq[min(by_seq)])
-        state_cols = [c for c in first_delta.columns if c != op]
+        def _read(root: str, paths: list[str], with_op: bool = False) -> DataFrame:
+            rd = spark.read.option("basePath", root)
+            if st is not None:
+                # table schema (+ the op transport column for delta batches,
+                # always a string 'i'/'d'): delta batches written before a
+                # column evolution read back null for it
+                s2 = st
+                if with_op:
+                    s2 = StructType(list(st.fields) + [StructField(op, StringType(), True)])
+                rd = rd.schema(s2)
+            df = rd.parquet(*paths)
+            if st is None:
+                df = df.withColumn(bucket_col, F.col(bucket_col).cast(m["bucket_type"]))
+            return df
+
+        if st is not None:
+            state_cols = [f.name for f in st.fields]
+        else:
+            first_delta = _read(self.delta_dir, by_seq[min(by_seq)], with_op=True)
+            state_cols = [c for c in first_delta.columns if c != op]
         parts = [
-            _read(self.delta_dir, by_seq[seq]).select(
+            _read(self.delta_dir, by_seq[seq], with_op=True).select(
                 *state_cols, F.col(op).alias("_ev"), F.lit(seq).alias("_seq")
             )
             for seq in sorted(by_seq)
@@ -1151,8 +1244,19 @@ class SnapshotTable:
             # every base file was stats-pruned: keep one so the scan retains
             # the committed schema; the caller's row filter drops its rows
             paths = [all_paths[0][2]]
+        st = self._manifest_schema(m)
         if paths:
-            df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+            rd = spark.read.option("basePath", self.data_dir)
+            if st is not None:
+                # explicit table schema (schema evolution): files written
+                # before a column was added read back null for it, and the
+                # partition column gets its committed type directly. Spark
+                # still surfaces the partition column LAST, so re-project to
+                # the manifest's column order.
+                rd = rd.schema(st)
+            df = rd.parquet(*paths)
+            if st is not None:
+                df = df.select(*[f.name for f in st.fields])
         elif not deltas:
             # legacy manifest without file lists: bucket-level pruning
             df = spark.read.parquet(self.data_dir).where(
@@ -1160,7 +1264,7 @@ class SnapshotTable:
             )
         else:
             df = None
-        if df is not None and "bucket_type" in m:
+        if df is not None and st is None and "bucket_type" in m:
             # partition-dir values read back as inferred types; restore the
             # committed column type so read schema == written schema
             df = df.withColumn(bucket_col, F.col(bucket_col).cast(m["bucket_type"]))
@@ -1313,8 +1417,18 @@ class SnapshotTable:
         ]
         if not paths:
             return self.read(spark, _manifest=m_to).limit(0)
-        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
-        if "bucket_type" in m_to:
+        st = self._manifest_schema(m_to)
+        rd = spark.read.option("basePath", self.data_dir)
+        if st is not None:
+            # the increment reads under the TO-version's table schema: files
+            # appended before a later column evolution null-fill it (the
+            # re-project pins column order — Spark surfaces the partition
+            # column last regardless of its schema position)
+            rd = rd.schema(st)
+        df = rd.parquet(*paths)
+        if st is not None:
+            df = df.select(*[f.name for f in st.fields])
+        if st is None and "bucket_type" in m_to:
             df = df.withColumn(
                 bucket_col, F.col(bucket_col).cast(m_to["bucket_type"])
             )

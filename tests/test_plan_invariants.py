@@ -31,6 +31,7 @@ EAGER = {
     "snapshot_lineage",
     "snapshot_prune",
     "snapshot_incremental",
+    "snapshot_evolution",
     "neardup_components",
     "corpus_select_neardup",
 }

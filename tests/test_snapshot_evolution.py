@@ -1,0 +1,154 @@
+"""Schema evolution on snapshot tables: union-by-name add-column (the
+Iceberg model) — old files read back null for later columns, a write may
+omit committed columns, a type change is refused, and time travel reads
+each version under ITS schema. The explicit manifest schema is what makes
+this deterministic: without it Spark samples one parquet footer and the
+result depends on which file it picks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_cuda_spark.sources.snapshots import (
+    SnapshotSchemaError,
+    SnapshotTable,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def v1_df(spark):
+    return spark.range(0, 100).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+        (F.col("id") * 31 % 1000).alias("val"),
+    )
+
+
+@pytest.fixture()
+def v2_df(spark):
+    # disjoint buckets, one NEW column
+    return spark.range(100, 200).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 4 + 4).cast("string").alias("bucket"),
+        (F.col("id") * 31 % 1000).alias("val"),
+        F.concat(F.lit("tag-"), F.col("id")).alias("tag"),
+    )
+
+
+def test_add_column_null_fills_old_files(spark, v1_df, v2_df, tmp_path):
+    snap = SnapshotTable(str(tmp_path / "t"))
+    snap.commit(v1_df, "bucket")
+    snap.commit(v2_df, "bucket")
+    got = snap.read(spark)
+    assert set(got.columns) == {"pid", "bucket", "val", "tag"}
+    want = _rows(
+        v1_df.withColumn("tag", F.lit(None).cast("string")).unionByName(v2_df)
+    )
+    assert _rows(got.select("pid", "bucket", "val", "tag")) == want
+    # manifest records the evolved schema; committed fields keep position
+    names = [f["name"] for f in snap.current()["schema"]]
+    assert names == ["pid", "bucket", "val", "tag"]
+
+
+def test_time_travel_reads_each_version_under_its_schema(spark, v1_df, v2_df, tmp_path):
+    snap = SnapshotTable(str(tmp_path / "t"))
+    snap.commit(v1_df, "bucket")
+    snap.commit(v2_df, "bucket")
+    old = snap.read(spark, version=1)
+    assert set(old.columns) == {"pid", "bucket", "val"}
+    assert _rows(old.select("pid", "bucket", "val")) == _rows(v1_df)
+
+
+def test_write_may_omit_committed_columns(spark, v1_df, tmp_path):
+    snap = SnapshotTable(str(tmp_path / "t"))
+    snap.commit(v1_df, "bucket")
+    narrower = spark.range(200, 250).select(
+        F.col("id").alias("pid"), F.lit("9").alias("bucket")
+    )
+    snap.commit(narrower, "bucket")
+    got = snap.read(spark).where(F.col("bucket") == "9")
+    assert set(got.columns) == {"pid", "bucket", "val"}
+    assert got.where(F.col("val").isNull()).count() == 50
+
+
+def test_type_change_is_refused(spark, v1_df, tmp_path):
+    snap = SnapshotTable(str(tmp_path / "t"))
+    snap.commit(v1_df, "bucket")
+    retyped = spark.range(300, 310).select(
+        F.col("id").alias("pid"),
+        F.lit("8").alias("bucket"),
+        F.col("id").cast("string").alias("val"),  # long -> string
+    )
+    with pytest.raises(SnapshotSchemaError, match="val"):
+        snap.commit(retyped, "bucket")
+    # the refused write published nothing
+    assert snap.current()["version"] == 1
+
+
+def test_read_changes_under_evolved_schema(spark, v1_df, v2_df, tmp_path):
+    snap = SnapshotTable(str(tmp_path / "t"))
+    snap.commit(v1_df, "bucket")
+    snap.commit(v2_df, "bucket")
+    inc = snap.read_changes(spark, 1)
+    assert set(inc.columns) == {"pid", "bucket", "val", "tag"}
+    assert _rows(inc.select("pid", "bucket", "val", "tag")) == _rows(v2_df)
+    # union invariant still holds column-wise under the TO-schema
+    v1_wide = snap.read(spark, version=1).withColumn(
+        "tag", F.lit(None).cast("string")
+    )
+    assert _rows(v1_wide.unionByName(inc)) == _rows(
+        snap.read(spark).select("pid", "bucket", "val", "tag")
+    )
+
+
+def test_merge_on_read_deltas_across_evolution(spark, v1_df, tmp_path):
+    """Delta batches written BEFORE an evolution null-fill the later column;
+    batches after it carry values — both merge under the table schema."""
+    snap = SnapshotTable(str(tmp_path / "t"))
+    snap.commit(v1_df, "bucket")
+    # pre-evolution delta: delete pid 0, insert pid 1000 (no tag column)
+    d1 = spark.createDataFrame(
+        [(0, "0", 0, "d"), (1000, "0", 77, "i")],
+        "pid long, bucket string, val long, _op string",
+    )
+    snap.append_deltas(d1, "bucket", ["0"], key_cols=["pid"])
+    # evolving delta: insert pid 2000 WITH a tag
+    d2 = spark.createDataFrame(
+        [(2000, "1", 88, "x", "i")],
+        "pid long, bucket string, val long, tag string, _op string",
+    )
+    snap.append_deltas(d2, "bucket", ["1"], key_cols=["pid"])
+    got = snap.read(spark)
+    assert set(got.columns) == {"pid", "bucket", "val", "tag"}
+    pdf = got.toPandas().set_index("pid")
+    assert 0 not in pdf.index and 1000 in pdf.index and 2000 in pdf.index
+    assert pdf.loc[2000, "tag"] == "x"
+    assert pdf.loc[1000, "tag"] is None or pdf.loc[1000, "tag"] != pdf.loc[1000, "tag"] or pdf.loc[1000, "tag"] is None  # null
+    assert pdf["tag"].notna().sum() == 1  # only the evolved insert carries tag
+
+
+def test_stats_pruning_safe_across_evolution(spark, v1_df, tmp_path):
+    """A file predating the stat column has no stats for it — read_where
+    must KEEP it (absent stats never prune) and let the row filter decide."""
+    snap = SnapshotTable(str(tmp_path / "t"), stat_cols=["extra"])
+    snap.commit(v1_df, "bucket")  # no 'extra' column at all
+    widened = spark.range(500, 520).select(
+        F.col("id").alias("pid"),
+        F.lit("7").alias("bucket"),
+        F.lit(0).cast("long").alias("val"),
+        (F.col("id") * 2).alias("extra"),
+    )
+    snap.commit(widened, "bucket")
+    got = snap.read_where(spark, {"extra": (1000, 1040)})
+    # rows from v1 files have extra=null -> dropped by the row filter;
+    # widened rows in range survive. Equality with plain read().where():
+    want = snap.read(spark).where(F.col("extra").between(1000, 1040))
+    assert _rows(got.select(*sorted(got.columns))) == _rows(
+        want.select(*sorted(want.columns))
+    )
+    assert got.count() == 20

@@ -2231,6 +2231,16 @@ GROUP BY b.box_id
     # from-version; the oracle knows increment (from_v → 3) is exactly the
     # generations from_v..2, and that the v3→v3 increment is EMPTY (no output
     # row) — a double-counted, missed, or phantom file breaks the sums.
+    # the stream's final content is the whole table; per-generation sums
+    # pin that each microbatch carried exactly its generation's files
+    sqls["snapshot_stream"] = """
+SELECT CAST(o_orderkey % 3 AS BIGINT) AS gen,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS cents_sum
+FROM orders GROUP BY 1
+"""
+
     # both arms re-derived from raw customer: v1 = half the buckets, seg
     # unknown at that version; current = all rows, seg null exactly for the
     # v1-era files (schema evolution must not backfill old data)
@@ -2381,6 +2391,72 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = inc if out is None else out.unionByName(inc)
     return out.groupBy("from_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("okey").alias("key_sum"),
+        F.sum("cents").alias("cents_sum"),
+    )
+
+
+def q_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `snapshot_changes` STREAMING source under the driver's hash gate:
+    three order generations committed as snapshot v1..v3; a real Structured
+    Streaming query (Python DataSource, executor-side Arrow file reads)
+    does the v1 initial load, then TAILS v2+v3 from the manifest offsets;
+    the memory-sink content is aggregated per generation and re-derived by
+    the oracle from the raw orders relation. Mid-stream invariants (initial
+    load = exactly generation 0; tail adds exactly the rest; no duplicates)
+    are asserted inline — a violation raises and fails the gate."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.snapshots import SnapshotTable
+    from .streaming.source import register_snapshot_changes
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "geospark_stream",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snap = SnapshotTable(root)
+    gen = F.pmod(F.col("o_orderkey"), F.lit(3))
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        gen.alias("gen"),
+        F.concat(
+            gen.cast("string"), F.lit("-"), F.pmod(F.col("o_orderkey"), F.lit(4)).cast("string")
+        ).alias("bucket"),
+    )
+    snap.commit(orders.where(F.col("gen") == 0), "bucket")  # v1
+    register_snapshot_changes(spark)
+    name = f"snap_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", root + "_ck")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n0 = spark.table(name).count()
+        want0 = orders.where(F.col("gen") == 0).count()
+        if n0 != want0:
+            raise AssertionError(f"initial load {n0} rows, want {want0}")
+        for g in (1, 2):  # v2, v3 land while the stream is live
+            snap.commit(orders.where(F.col("gen") == g), "bucket")
+        q.processAllAvailable()
+        tailed = spark.table(name)
+        if tailed.select("okey").distinct().count() != tailed.count():
+            raise AssertionError("streaming tail duplicated rows")
+    finally:
+        q.stop()
+    return spark.table(name).groupBy("gen").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("okey").alias("key_sum"),
         F.sum("cents").alias("cents_sum"),
@@ -2549,6 +2625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_prune": q_snapshot_prune,
     "snapshot_incremental": q_snapshot_incremental,
     "snapshot_evolution": q_snapshot_evolution,
+    "snapshot_stream": q_snapshot_stream,
 }
 
 ORACLES: dict[str, str] = _oracle_sqls()

@@ -1354,6 +1354,43 @@ class SnapshotTable:
         contract — refuse, never approximate). Vacuumed history raises
         ``FileNotFoundError``. I/O is ∝ the increment, not the table: only
         the added files are scanned."""
+        if from_version < 1:
+            raise ValueError(f"from_version={from_version} outside [1, ...]")
+        m_to, added = self.added_files(from_version, to_version)
+        bucket_col = m_to["bucket_col"]
+        paths = [
+            os.path.join(self.data_dir, f"{bucket_col}={b}", f) for b, f in added
+        ]
+        if not paths:
+            return self.read(spark, _manifest=m_to).limit(0)
+        st = self._manifest_schema(m_to)
+        rd = spark.read.option("basePath", self.data_dir)
+        if st is not None:
+            # the increment reads under the TO-version's table schema: files
+            # appended before a later column evolution null-fill it (the
+            # re-project pins column order — Spark surfaces the partition
+            # column last regardless of its schema position)
+            rd = rd.schema(st)
+        df = rd.parquet(*paths)
+        if st is not None:
+            df = df.select(*[f.name for f in st.fields])
+        if st is None and "bucket_type" in m_to:
+            df = df.withColumn(
+                bucket_col, F.col(bucket_col).cast(m_to["bucket_type"])
+            )
+        return df
+
+    def added_files(
+        self, from_version: int, to_version: int | None = None
+    ) -> tuple[dict, list[tuple[str, str]]]:
+        """Manifest-only chain walk shared by ``read_changes`` and the
+        ``snapshot_changes`` streaming source: (to-manifest, [(bucket, file)]
+        added after ``from_version`` up to and including ``to_version``),
+        sorted for determinism. ``from_version=0`` is the INITIAL-LOAD case —
+        every file of the target version, no walk — and refuses a table with
+        pending merge-on-read deltas (their fold is a join, not a file list;
+        compact first). Every walked step must be a pure base-file append,
+        else SnapshotIncrementalError (see ``read_changes``)."""
         m_to = (
             self.current()
             if to_version is None
@@ -1366,9 +1403,23 @@ class SnapshotTable:
                 else f"no snapshot v{to_version} at {self.path}"
             )
         to_version = m_to["version"]
-        if not 1 <= from_version <= to_version:
+        if not 0 <= from_version <= to_version:
             raise ValueError(
-                f"from_version={from_version} outside [1, {to_version}]"
+                f"from_version={from_version} outside [0, {to_version}]"
+            )
+        if from_version == 0:
+            if any(v for v in (m_to.get("deltas") or {}).values()):
+                raise SnapshotIncrementalError(
+                    f"v{to_version} has pending merge-on-read deltas: the "
+                    "initial load cannot be expressed as a file list; "
+                    "compact the table first"
+                )
+            if "files" not in m_to:
+                raise SnapshotIncrementalError(
+                    f"v{to_version}: legacy manifest without file lists"
+                )
+            return m_to, sorted(
+                (b, f) for b, fs in m_to["files"].items() for f in fs
             )
         # walk child → parent, validating linkage and append-only-ness
         child = m_to
@@ -1402,34 +1453,15 @@ class SnapshotTable:
         m_from = child
         if m_from["version"] != from_version:  # pragma: no cover
             raise SnapshotIncrementalError("version chain did not close")
-        bucket_col = m_to["bucket_col"]
         # .get: a from==to call never enters the chain walk (which is what
         # rejects legacy manifests without file lists), and its increment is
         # empty either way
         old = {
             (b, f) for b, fs in m_from.get("files", {}).items() for f in fs
         }
-        paths = [
-            os.path.join(self.data_dir, f"{bucket_col}={b}", f)
+        return m_to, sorted(
+            (b, f)
             for b, fs in m_to.get("files", {}).items()
             for f in fs
             if (b, f) not in old
-        ]
-        if not paths:
-            return self.read(spark, _manifest=m_to).limit(0)
-        st = self._manifest_schema(m_to)
-        rd = spark.read.option("basePath", self.data_dir)
-        if st is not None:
-            # the increment reads under the TO-version's table schema: files
-            # appended before a later column evolution null-fill it (the
-            # re-project pins column order — Spark surfaces the partition
-            # column last regardless of its schema position)
-            rd = rd.schema(st)
-        df = rd.parquet(*paths)
-        if st is not None:
-            df = df.select(*[f.name for f in st.fields])
-        if st is None and "bucket_type" in m_to:
-            df = df.withColumn(
-                bucket_col, F.col(bucket_col).cast(m_to["bucket_type"])
-            )
-        return df
+        )

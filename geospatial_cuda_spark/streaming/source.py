@@ -1,0 +1,173 @@
+"""`snapshot_changes` — a Structured Streaming SOURCE over snapshot tables.
+
+The sink direction already exists (`streaming/upserts.py` writes streams
+INTO a `SnapshotTable`); this is the read direction: a stream that tails a
+growing snapshot table version-by-version, the Iceberg/Delta
+"streaming read of a table" model re-expressed through PySpark 4's Python
+DataSource API (public `pyspark.sql.datasource`, SPARK-44076).
+
+Execution model — scale-correct by construction:
+
+- OFFSETS are manifest versions (`{"version": N}`): tiny JSON, monotone,
+  replay-exact. The driver-side reader only reads MANIFESTS (the same
+  O(increment) chain walk as `SnapshotTable.read_changes` — no data I/O on
+  the driver, ever).
+- Each microbatch's work is one `InputPartition` PER ADDED FILE, so the
+  read parallelism equals the increment's file count and data bytes are
+  read on EXECUTORS, as Arrow record batches straight from parquet.
+- Initial load (`starting_version=0`, the default) is "every file of the
+  current version, then tail"; `starting_version=latest` tails only new
+  commits; an integer starts after that committed version. A table with
+  pending merge-on-read deltas refuses the initial load (the delta fold is
+  a join, not a file list — compact first), exactly like a mid-range
+  overwrite raises: refuse, never approximate (Iceberg incremental-scan
+  contract).
+- Schema is pinned at stream start from the manifest (evolution-aware:
+  files written before a later column addition null-fill it; the bucket
+  partition column is injected from the directory name). Columns added to
+  the table AFTER stream start are not surfaced until a stream restart —
+  Spark streaming schemas are fixed per run.
+
+Reference scope: the reference engine has no streaming surface at all
+(`cuda/inference.cu:24-49` rebuilds from a text file per run); this is the
+consumption half of the snapshot sink contract SURVEY §2.9 promises.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..sources.snapshots import SnapshotTable
+
+
+class _FilePartition(InputPartition):
+    """One added data file: everything an executor needs, picklable."""
+
+    def __init__(self, path: str, bucket_value: str | None):
+        self.path = path
+        self.bucket_value = bucket_value
+
+
+def _arrow_type_of(field):
+    """Arrow type for a Spark StructField via a 1-field schema conversion
+    (public API only: pyspark.sql.types -> pyarrow through to_arrow_schema
+    is private; pa.schema round-trips the JSON instead)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(field.dataType)
+
+
+def _reconcile_batch(batch, schema: StructType, bucket_col: str, bucket_value):
+    """Project an Arrow batch onto the STREAM schema: inject the partition
+    column as a constant, null-fill columns the file predates, cast to the
+    schema's Arrow types (evolution forbids type changes, so casts are
+    lossless representation alignment, e.g. int32 footer vs long schema)."""
+    import pyarrow as pa
+
+    cols, n = [], batch.num_rows
+    names = set(batch.schema.names)
+    for f in schema.fields:
+        at = _arrow_type_of(f)
+        if f.name == bucket_col and f.name not in names:
+            cols.append(pa.array([bucket_value] * n).cast(at))
+        elif f.name in names:
+            cols.append(batch.column(f.name).cast(at))
+        else:
+            cols.append(pa.nulls(n, type=at))
+    return pa.RecordBatch.from_arrays(cols, names=[f.name for f in schema.fields])
+
+
+class _SnapshotChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("snapshot_changes requires .option('path', <table root>)")
+        start = str(options.get("starting_version", "0")).lower()
+        self._table = SnapshotTable(self._path)
+        if start == "latest":
+            m = self._table.current()
+            self._start = m["version"] if m else 0
+        else:
+            self._start = int(start)
+        # manifest facts partitions() needs; bucket typing rides the schema
+        m = self._table.current()
+        self._bucket_col = m["bucket_col"] if m else None
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        m = self._table.current()
+        return {"version": m["version"] if m else self._start}
+
+    def partitions(self, start: dict, end: dict):
+        from_v, to_v = int(start["version"]), int(end["version"])
+        if to_v <= from_v:
+            return []
+        m_to, added = self._table.added_files(from_v, to_v)
+        bucket_col = m_to["bucket_col"]
+        return [
+            _FilePartition(
+                os.path.join(self._table.data_dir, f"{bucket_col}={b}", f), b
+            )
+            for b, f in added
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.path)
+        file_cols = [
+            f.name for f in self._schema.fields if f.name in set(pf.schema_arrow.names)
+        ]
+        for batch in pf.iter_batches(columns=file_cols or None):
+            yield _reconcile_batch(
+                batch, self._schema, self._bucket_col, partition.bucket_value
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SnapshotChangesDataSource(DataSource):
+    """``spark.readStream.format("snapshot_changes").option("path", root)``.
+
+    Register once per session with :func:`register_snapshot_changes`.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_changes"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot_changes requires .option('path', <table root>)")
+        m = SnapshotTable(path).current()
+        if m is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        st = SnapshotTable._manifest_schema(m)
+        if st is None:
+            raise ValueError(
+                f"{path}: legacy manifest without a schema — streaming reads "
+                "need the manifest-pinned schema (recommit with this version)"
+            )
+        return st
+
+    def streamReader(self, schema: StructType):
+        return _SnapshotChangesStreamReader(schema, dict(self.options))
+
+
+def register_snapshot_changes(spark) -> None:
+    spark.dataSource.register(SnapshotChangesDataSource)

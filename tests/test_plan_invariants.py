@@ -32,6 +32,7 @@ EAGER = {
     "snapshot_prune",
     "snapshot_incremental",
     "snapshot_evolution",
+    "snapshot_stream",
     "neardup_components",
     "corpus_select_neardup",
 }

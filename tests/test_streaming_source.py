@@ -1,0 +1,173 @@
+"""`snapshot_changes` streaming source: initial load + version tailing,
+starting_version=latest, exactly-once across a checkpoint restart, and the
+refuse-never-approximate paths (overwrite mid-range, pending deltas at
+initial load)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_cuda_spark.sources.snapshots import SnapshotTable
+from geospatial_cuda_spark.streaming.source import register_snapshot_changes
+
+_QN = 0
+
+
+def _gen(spark, lo, hi, bucket_base=0, tag=None):
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 4 + bucket_base).cast("string").alias("bucket"),
+        (F.col("id") * 3).alias("val"),
+    )
+    return df.withColumn("tag", F.lit(tag)) if tag is not None else df
+
+
+def _start(spark, root, name, **opts):
+    register_snapshot_changes(spark)
+    rd = spark.readStream.format("snapshot_changes").option("path", root)
+    for k, v in opts.items():
+        rd = rd.option(k, v)
+    return (
+        rd.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", root + f"_ck_{name}")
+        .start()
+    )
+
+
+def _fresh(prefix):
+    global _QN
+    _QN += 1
+    return f"{prefix}{_QN}"
+
+
+def test_initial_load_then_tail(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap = SnapshotTable(root)
+    snap.commit(_gen(spark, 0, 100), "bucket")
+    name = _fresh("tail")
+    q = _start(spark, root, name)
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 100
+        snap.commit(_gen(spark, 100, 150, bucket_base=4), "bucket")
+        q.processAllAvailable()
+        got = spark.table(name)
+        assert got.count() == 150
+        # value integrity across both batches
+        assert got.agg(F.sum("val")).collect()[0][0] == sum(i * 3 for i in range(150))
+        # no duplicates
+        assert got.select("pid").distinct().count() == 150
+    finally:
+        q.stop()
+
+
+def test_starting_version_latest_skips_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap = SnapshotTable(root)
+    snap.commit(_gen(spark, 0, 100), "bucket")
+    name = _fresh("latest")
+    q = _start(spark, root, name, starting_version="latest")
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0
+        snap.commit(_gen(spark, 100, 120, bucket_base=4), "bucket")
+        q.processAllAvailable()
+        assert spark.table(name).count() == 20
+    finally:
+        q.stop()
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Offsets resume from the checkpoint across a stream restart: rows
+    committed while the stream was DOWN arrive exactly once (a durable
+    parquet sink — the memory sink cannot recover from a checkpoint)."""
+    root = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    snap = SnapshotTable(root)
+    snap.commit(_gen(spark, 0, 50), "bucket")
+    register_snapshot_changes(spark)
+
+    def run():
+        return (
+            spark.readStream.format("snapshot_changes")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = run()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # table grows while the stream is DOWN
+    snap.commit(_gen(spark, 50, 80, bucket_base=4), "bucket")
+    q2 = run()
+    try:
+        q2.processAllAvailable()
+        got = spark.read.parquet(out)
+        assert got.count() == 80
+        assert got.select("pid").distinct().count() == 80  # no replay
+        assert got.agg(F.sum("val")).collect()[0][0] == sum(i * 3 for i in range(80))
+    finally:
+        q2.stop()
+
+
+def test_overwrite_mid_stream_refuses(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap = SnapshotTable(root)
+    snap.commit(_gen(spark, 0, 40), "bucket")
+    name = _fresh("ow")
+    q = _start(spark, root, name)
+    try:
+        q.processAllAvailable()
+        snap.overwrite_buckets(
+            _gen(spark, 0, 10).where(F.col("bucket") == "1"), "bucket", ["1"]
+        )
+        with pytest.raises(Exception, match="not an append-only step"):
+            q.processAllAvailable()
+            raise AssertionError("stream accepted a non-append step")
+    finally:
+        q.stop()
+
+
+def test_pending_deltas_refuse_initial_load(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap = SnapshotTable(root)
+    snap.commit(_gen(spark, 0, 40), "bucket")
+    d = spark.createDataFrame(
+        [(1000, "0", 5, "i")], "pid long, bucket string, val long, _op string"
+    )
+    snap.append_deltas(d, "bucket", ["0"], key_cols=["pid"])
+    name = _fresh("mor")
+    q = _start(spark, root, name)
+    try:
+        with pytest.raises(Exception, match="pending merge-on-read deltas"):
+            q.processAllAvailable()
+            raise AssertionError("initial load accepted pending deltas")
+    finally:
+        q.stop()
+
+
+def test_evolved_table_null_fills_old_files_on_fresh_stream(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap = SnapshotTable(root)
+    snap.commit(_gen(spark, 0, 40), "bucket")
+    snap.commit(_gen(spark, 40, 60, bucket_base=4, tag="x"), "bucket")
+    name = _fresh("evo")
+    q = _start(spark, root, name)
+    try:
+        q.processAllAvailable()
+        got = spark.table(name)
+        assert set(got.columns) == {"pid", "bucket", "val", "tag"}
+        assert got.where(F.col("tag").isNull()).count() == 40
+        assert got.where(F.col("tag") == "x").count() == 20
+    finally:
+        q.stop()

@@ -1192,6 +1192,22 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_near_dups(docs)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ 5 distinct char
+    20-shingles with any doc of the held-out benchmark (doc_id % 50 == 0 —
+    10 docs standing in for an eval set). The benchmark shingle relation is
+    broadcast, so the corpus never shuffles; only matched (corpus, bench,
+    shingle) rows enter the one grouped count. At the fixture's thresholds
+    this flags ~10 of 4,900 possible pairs, including one genuine
+    contamination (123 shared shingles) — discriminating both ways."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return D.decontaminate(corpus, bench, k=20, min_overlap=5).select(
+        F.col("doc_id").alias("corpus_id"), "bench_id", "n_overlap"
+    )
+
+
 CORPUS_QUALITY_MIN = 0.8
 CORPUS_TOKEN_BUDGET = 12_000
 
@@ -1778,6 +1794,20 @@ FROM documents
         "FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b\n"
         "ORDER BY jaccard DESC, a ASC, b ASC LIMIT 10"
     )
+
+    # decontaminate: the same distinct-shingle overlap stated directly —
+    # both sides shingled in SQL, plain join + HAVING (no broadcast hint:
+    # the oracle asserts WHAT, the engine plan asserts HOW)
+    sqls["decontaminate"] = """
+WITH sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        generate_series(1, greatest(length(text) - 19, 1)),
+        i -> substr(lower(text), i, 20))) AS shingle FROM documents)
+SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+       COUNT(*) AS n_overlap
+FROM sh c JOIN sh b ON c.shingle = b.shingle
+WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+GROUP BY 1, 2 HAVING COUNT(*) >= 5
+"""
 
     votes = ", ".join(
         f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(16)
@@ -2603,6 +2633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": q_corpus_mix,
     "minhash_buckets": q_minhash_buckets,
     "ngram_jaccard_topk": q_ngram_jaccard_topk,
+    "decontaminate": q_decontaminate,
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,

@@ -32,10 +32,16 @@ def exact_dedup_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id"
 
 
 def shingle_set(df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 5) -> DataFrame:
-    """(id, shingle) distinct pairs."""
-    return (
-        df.select(F.col(id_col), F.explode(F.expr(shingles_expr(text, k))).alias("shingle"))
-        .distinct()
+    """(id, shingle) distinct pairs. Distinctness is PER DOCUMENT, so it is
+    computed with ``array_distinct`` on the shingle array before the explode
+    — all in one codegen stage, ZERO shuffle — instead of a relational
+    ``.distinct()``, which would hash-exchange the full |corpus| × shingles
+    relation just to dedup rows that never left their source row."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.expr(shingles_expr(text, k)))
+        ).alias("shingle"),
     )
 
 
@@ -161,6 +167,60 @@ def near_dup_minhash(
         max_bucket,
     )
     return jaccard_pairs(sh, pairs, id_col).where(F.col("jaccard") >= threshold)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 20,
+    min_overlap: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_overlap`` DISTINCT char ``k``-shingles with any benchmark document
+    — the train/eval overlap scan every LLM data pipeline runs before
+    training (the reference engine has no text surface; this is
+    pipeline-layer scope per the driver brief). Returns
+    (``id_col``, ``bench_id_col``, n_overlap) with n_overlap ≥ min_overlap;
+    one row per (corpus doc, benchmark doc) pair, so callers can either
+    drop flagged docs (anti-join on ``id_col``) or audit which benchmark
+    leaked.
+
+    Scale shape: the benchmark side is TINY by nature (eval sets are
+    thousands of docs against a 100 TB corpus), so its shingle relation is
+    hash-broadcast — the corpus is scanned ONCE, shingled in codegen
+    (no Python), map-side joined with ZERO corpus shuffle; only the
+    surviving (corpus, bench, shingle) matches shuffle into one grouped
+    count. Both shingle sets are distinct per doc, so the match relation is
+    duplicate-free and ``COUNT(*)`` IS the distinct-shingle overlap.
+
+    ``max_df`` drops benchmark shingles occurring in more than that many
+    BENCHMARK docs before the join (boilerplate n-grams — license headers,
+    chat-template scaffolding — that would match most of the corpus while
+    carrying no contamination signal and fan each corpus shingle out
+    ``df``-fold). Same recall trade as ``near_dup_simhash``'s cap, same
+    default: None = exact."""
+    c_sh = shingle_set(corpus, text, id_col, k)
+    b_sh = shingle_set(benchmark, text, id_col, k).withColumnRenamed(
+        id_col, bench_id_col
+    )
+    if max_df is not None:
+        cool = (
+            b_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        b_sh = b_sh.join(F.broadcast(cool), on="shingle", how="left_semi")
+    return (
+        c_sh.join(F.broadcast(b_sh), on="shingle")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
 
 
 def winnow_fingerprints(

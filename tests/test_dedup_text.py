@@ -352,3 +352,46 @@ def test_corpus_mix_budget_and_prefix_semantics(spark):
     assert got.groupby("cluster")["doc_id"].count().min() >= 1
     full_tokens = sel.merge(got[["doc_id"]], on="doc_id", how="inner")["n_tok"].sum()
     assert full_tokens == got["n_tok"].sum()
+
+
+def test_decontaminate_planted_overlap_cap_and_plan(spark):
+    """decontaminate: flags exactly the corpus docs sharing >= min_overlap
+    distinct shingles with a benchmark doc; the max_df cap drops boilerplate
+    shingles shared across the whole benchmark; the corpus side reaches the
+    broadcast join without an Exchange (per-doc distinct is array_distinct
+    in the scan stage, not a relational distinct)."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    boiler = " COMMON-LICENSE-HEADER-SHARED-BY-EVERY-DOC"
+    bench = spark.createDataFrame(
+        [(900, bench_text + boiler), (901, "totally disjoint benchmark row" + boiler)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text + " with an appended tail"),  # contaminated vs 900
+            (2, "unrelated text about tile pyramids and mercator zoom" + boiler),
+            (3, "another unrelated document on quadtree construction" + boiler),
+        ],
+        "doc_id long, text string",
+    )
+    # uncapped, the boilerplate shingles flag docs 2 and 3 against BOTH
+    # benchmark docs alongside the genuine contamination (1, 900)
+    loose = {
+        (r["doc_id"], r["bench_id"]): r["n_overlap"]
+        for r in D.decontaminate(corpus, bench, k=20, min_overlap=5).collect()
+    }
+    assert {(1, 900), (2, 900), (2, 901), (3, 900), (3, 901)} <= set(loose)
+    assert loose[(1, 900)] >= 30
+    # max_df=1 drops every shingle present in >1 benchmark doc (the shared
+    # header), leaving exactly the genuine contamination
+    capped = {
+        (r["doc_id"], r["bench_id"]): r["n_overlap"]
+        for r in D.decontaminate(corpus, bench, k=20, min_overlap=5, max_df=1).collect()
+    }
+    assert set(capped) == {(1, 900)} and capped[(1, 900)] >= 30
+    # plan shape: broadcast join present; no distinct-induced Exchange on the
+    # corpus (streamed) side — the only Exchange is the post-join group-by
+    plan = D.decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    stream_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning(shingle" not in stream_side

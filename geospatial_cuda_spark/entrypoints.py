@@ -895,6 +895,119 @@ def _part_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_PATCH_OFFSET = 1_000_000
+
+
+def _phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image fixture for perceptual-hash near-dup: the base images plus two
+    planted near-duplicate classes a real image pipeline meets — ``d``
+    (the same pixels re-encoded through the OTHER codec, so the lossy arm
+    rounds every byte to even) and ``m`` (the same pixels with the first
+    16-byte block overwritten by a constant — a redaction/watermark patch,
+    regenerated from key+offset so the SQL oracle replays it). All payloads
+    are real encoded bytes; the near-dup relationships exist only at the
+    pixel level, never as metadata."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= IMG_LIMIT)
+
+    def sel(prefix: str, fmt_col, patched: int, flt=None) -> DataFrame:
+        p = part if flt is None else part.where(flt)
+        return p.select(
+            F.concat(F.lit(prefix), F.col("p_partkey").cast("string")).alias("image_id"),
+            F.col("p_partkey").cast("long").alias("key"),
+            F.expr(IMG_W).alias("w"),
+            F.expr(IMG_H).alias("h"),
+            fmt_col.alias("fmt"),
+            F.lit(patched).alias("patched"),
+        )
+
+    base_fmt = F.when(F.col("p_partkey") % 4 == 0, "rle").otherwise("raw")
+    flip_fmt = F.when(F.col("p_partkey") % 4 == 0, "raw").otherwise("rle")
+    keys = (
+        sel("p", base_fmt, 0)
+        .unionByName(sel("d", flip_fmt, 0, F.col("p_partkey") % 3 == 0))
+        .unionByName(sel("m", F.lit("raw"), 1, F.col("p_partkey") % 5 == 0))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .functions.images import encode_images_batch, gen_pixels_batch
+        from .util import hash2
+
+        for b in batches:
+            payload = pd.Series(index=b.index, dtype=object)
+            for (w, h, fmt, patched), g in b.groupby(
+                ["w", "h", "fmt", "patched"], sort=False
+            ):
+                kk = g["key"].to_numpy(np.uint64)
+                pix = gen_pixels_batch(kk, int(w), int(h))
+                if patched:
+                    patch = (
+                        hash2(kk + np.uint64(PHASH_PATCH_OFFSET), np.uint64(0))
+                        & np.uint64(0xFF)
+                    ).astype(np.uint8)
+                    pix[:, :16] = patch[:, None]
+                enc = np.empty(len(g), dtype=object)
+                enc[:] = encode_images_batch(pix, str(fmt))
+                payload.loc[g.index] = enc
+            yield pd.DataFrame(
+                {
+                    "image_id": b["image_id"],
+                    "bytes": payload,
+                    "w": b["w"],
+                    "h": b["h"],
+                    "fmt": b["fmt"],
+                }
+            )
+
+    return keys.mapInPandas(gen, "image_id string, bytes binary, w int, h int, fmt string")
+
+
+def q_image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup: decode real payloads → resize 8×8 →
+    64-bit average-hash (``phash64_batch``) → banded Hamming self-join
+    (8 bands of 8 bits, pigeonhole-complete for hamming ≤ 7, reported at
+    ≤ 4 — never all-pairs). Finds the planted lossy re-encodes (hamming
+    0–3) and most patch-edited variants (0–6), zero spurious pairs; the
+    oracle re-derives every phash bit as splitmix64 arithmetic and compares
+    ALL pairs brute-force, so the banding's completeness is itself gated."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .functions.images import (
+        decode_images_batch,
+        phash64_batch,
+        resize_nearest_batch,
+    )
+
+    imgs = _phash_images(spark, sf_dir)
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            parts = []
+            for (w, h, fmt), g in b.groupby(["w", "h", "fmt"], sort=False):
+                px = decode_images_batch(list(g["bytes"]), int(w), int(h), str(fmt))
+                small = resize_nearest_batch(px, 8, 8)
+                parts.append(
+                    pd.DataFrame(
+                        {"image_id": g["image_id"].to_numpy(), "phash": phash64_batch(small)}
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+                {"image_id": pd.Series([], dtype=str), "phash": pd.Series([], dtype="int64")}
+            )
+
+    hashes = imgs.mapInPandas(ph, "image_id string, phash long")
+    return D.hamming_pairs(
+        hashes, "phash", "image_id", bits=64, bands=8, max_hamming=4
+    ).select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_tile_slice_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 raster→vector slicing: run the REAL pixel-slicing kernel and verify
     its emitted geometry (tile ids, slice count, pixel conservation, caption
@@ -2177,6 +2290,52 @@ SELECT 'p' || CAST(key AS VARCHAR) AS image_id,
 FROM vals GROUP BY key
 """
 
+    # ----- image_neardup_phash: every phash bit re-derived as splitmix64
+    # arithmetic (same sampling CTE shape as image_features, plus the
+    # patch class routing block 0 through key+offset), then an ALL-PAIRS
+    # brute-force Hamming compare — independently gating both the hash and
+    # the engine's band-join completeness
+    flat = "(((gj.j * h // 8) * w + (gi.i * w // 8)) * 3 + gc.c)"
+    sqls["image_neardup_phash"] = f"""
+WITH im AS (
+  SELECT 'p' || CAST(p_partkey AS VARCHAR) AS image_id,
+         CAST(p_partkey AS BIGINT) AS key, {IMG_W} AS w, {IMG_H} AS h,
+         CASE WHEN p_partkey % 4 = 0 THEN 1 ELSE 0 END AS lossy, 0 AS patched
+  FROM part WHERE p_partkey <= {IMG_LIMIT}
+  UNION ALL
+  SELECT 'd' || CAST(p_partkey AS VARCHAR),
+         CAST(p_partkey AS BIGINT), {IMG_W}, {IMG_H},
+         CASE WHEN p_partkey % 4 = 0 THEN 0 ELSE 1 END, 0
+  FROM part WHERE p_partkey <= {IMG_LIMIT} AND p_partkey % 3 = 0
+  UNION ALL
+  SELECT 'm' || CAST(p_partkey AS VARCHAR),
+         CAST(p_partkey AS BIGINT), {IMG_W}, {IMG_H}, 0, 1
+  FROM part WHERE p_partkey <= {IMG_LIMIT} AND p_partkey % 5 = 0),
+samples AS (SELECT image_id, lossy, gj.j * 8 + gi.i AS pos,
+                   CAST(CASE WHEN patched = 1 AND {flat} // 16 = 0
+                        THEN key + {PHASH_PATCH_OFFSET} ELSE key END AS UBIGINT) AS a,
+                   CAST({flat} AS UBIGINT) // 16 AS b
+            FROM im,
+                 generate_series(0, 7) AS gj(j),
+                 generate_series(0, 7) AS gi(i),
+                 generate_series(0, 2) AS gc(c)),
+{hash2_sql_ctes('q', 'samples', ['image_id', 'lossy', 'pos'], 'a', 'b', 'v')},
+vals AS (SELECT image_id, pos,
+                CASE WHEN lossy = 1 THEN (v % 256) - ((v % 256) % 2)
+                     ELSE v % 256 END AS pix
+         FROM qo5),
+s AS (SELECT image_id, pos, CAST(SUM(pix) AS BIGINT) AS s FROM vals GROUP BY 1, 2),
+tot AS (SELECT image_id, CAST(SUM(s) AS BIGINT) AS tot FROM s GROUP BY 1),
+bits AS (SELECT s.image_id, s.pos,
+                CASE WHEN 64 * s.s > t.tot THEN '1' ELSE '0' END AS bit
+         FROM s JOIN tot t ON s.image_id = t.image_id),
+phv AS (SELECT image_id, string_agg(bit, '' ORDER BY pos) AS ph FROM bits GROUP BY 1)
+SELECT x.image_id AS a, y.image_id AS b,
+       CAST(hamming(x.ph, y.ph) AS INT) AS hamming
+FROM phv x JOIN phv y ON x.image_id < y.image_id
+WHERE hamming(x.ph, y.ph) <= 4
+"""
+
     # ----- audio_features: decode → window-energy re-derived as splitmix64
     # integer arithmetic. sample(key, i) = (hash2(key, i) & 0xFFFF) - 32768
     # (functions/multimodal.py gen_audio); windows of 256, trailing partial
@@ -2650,6 +2809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,
     "tile_slice_geometry": q_tile_slice_geometry,
     "image_features": q_image_features,
+    "image_neardup_phash": q_image_neardup_phash,
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
     "snapshot_lineage": q_snapshot_lineage,

@@ -168,6 +168,20 @@ def resize_nearest_batch(imgs: np.ndarray, out_w: int, out_h: int) -> np.ndarray
     return imgs[:, ys][:, :, xs]
 
 
+def phash64_batch(px8: np.ndarray) -> np.ndarray:
+    """64-bit perceptual hash of a same-shape group ALREADY resized to 8×8:
+    (n, 8, 8, 3) uint8 → (n,) int64. Bit i (row-major pixel order) is set iff
+    pixel i's RGB sum exceeds the image's mean RGB sum, compared in integers
+    (``64·s_i > Σs``) so the DuckDB oracle replays it exactly — the classic
+    average-hash variant of pHash, codec- and resize-invariant enough that a
+    lossy re-encode lands within a few bits of its source."""
+    n = px8.shape[0]
+    s = px8.reshape(n, 64, 3).sum(axis=2, dtype=np.int64)  # (n, 64)
+    bits = (64 * s) > s.sum(axis=1, keepdims=True)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     a = a.astype(np.float64)
     b = b.astype(np.float64)

@@ -325,15 +325,45 @@ def near_dup_simhash(
     sf0.1) — and, unlike the old session-lifetime ``.persist()`` (VERDICT
     r4 item 3), its blocks are reclaimed by the ContextCleaner as soon as
     the returned frame is dropped (pytest-gated in test_dedup_text)."""
-    s = simhash(df, bits, text, id_col).localCheckpoint(eager=True)
-    span = bits // nibbles
+    s = simhash(df, bits, text, id_col)
+    return hamming_pairs(
+        s, "simhash", id_col, bits=bits, bands=nibbles,
+        max_hamming=max_hamming, max_df=max_df,
+    )
+
+
+def hamming_pairs(
+    rel: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Generic banded Hamming self-join over any (id, ``bits``-wide hash)
+    relation — the blocking engine shared by ``near_dup_simhash`` (16-bit
+    text simhash) and the 64-bit image perceptual-hash near-dup. Pairs with
+    ``hamming ≤ max_hamming`` must agree on at least one of ``bands``
+    contiguous bit-bands whenever ``max_hamming < bands`` (pigeonhole), so
+    the self-join is band-bucketed, never all-pairs. ``max_df`` and the
+    eager-localCheckpoint lifecycle follow ``near_dup_simhash`` (see its
+    docstring for the recall trade and the cache-release contract). Shifts
+    are UNSIGNED so a hash with bit ``bits-1`` set (negative as a signed
+    long) bands identically to the numpy uint64 view that produced it."""
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    s = rel.select(id_col, hash_col).localCheckpoint(eager=True)
+    span = bits // bands
     blocks = None
-    for nb in range(nibbles):
+    for nb in range(bands):
         part = s.select(
             F.col(id_col),
-            F.col("simhash"),
+            F.col(hash_col),
             F.lit(nb).alias("band"),
-            F.shiftright(F.col("simhash"), nb * span).bitwiseAND(F.lit((1 << span) - 1)).alias("key"),
+            F.shiftrightunsigned(F.col(hash_col), nb * span)
+            .bitwiseAND(F.lit((1 << span) - 1) if span < 64 else F.lit(-1))
+            .alias("key"),
         )
         blocks = part if blocks is None else blocks.unionByName(part)
     if max_df is not None:
@@ -344,8 +374,8 @@ def near_dup_simhash(
             .select("band", "key")
         )
         blocks = blocks.join(cool, on=["band", "key"], how="left_semi")
-    a = blocks.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "band", "key")
-    b = blocks.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "band", "key")
+    a = blocks.select(F.col(id_col).alias("a"), F.col(hash_col).alias("sa"), "band", "key")
+    b = blocks.select(F.col(id_col).alias("b"), F.col(hash_col).alias("sb"), "band", "key")
     return (
         a.join(b, on=["band", "key"])
         .where(F.col("a") < F.col("b"))

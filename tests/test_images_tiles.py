@@ -164,3 +164,40 @@ def test_tile_pyramid_invariants(spark, images):
     ).where(F.col("n_points") != F.col("np"))
     assert mismatch.count() == 0
     pyr.unpersist()
+
+
+def test_phash64_and_hamming_pairs_sign_bit(spark):
+    """phash64_batch matches a per-image naive re-derivation (including the
+    integer tie rule 64*s > tot), and hamming_pairs bands correctly when bit
+    63 is set (hash negative as a signed long) — the unsigned-shift edge."""
+    import numpy as np
+
+    from geospatial_cuda_spark.functions.images import (
+        gen_pixels_batch,
+        phash64_batch,
+        resize_nearest_batch,
+    )
+    from geospatial_cuda_spark.operators.dedup import hamming_pairs
+
+    keys = np.arange(10, dtype=np.uint64)
+    pix = gen_pixels_batch(keys, 16, 16).reshape(10, 16, 16, 3)
+    small = resize_nearest_batch(pix, 8, 8)
+    got = phash64_batch(small)
+    for i in range(10):
+        s = small[i].reshape(64, 3).sum(axis=1).astype(np.int64)
+        bits = (64 * s) > s.sum()
+        want = sum(int(b) << p for p, b in enumerate(bits))
+        assert int(got[i]) == np.int64(np.uint64(want) if want < 2**63 else want - 2**64)
+    # sign-bit edge: two hashes with bit 63 set, hamming 1 apart, plus an
+    # unrelated hash — only the close pair must surface through banding
+    h_hi = np.uint64(1) << np.uint64(63)
+    a = int(np.uint64(h_hi | np.uint64(0x0F)).astype(np.int64))
+    b = int(np.uint64(h_hi | np.uint64(0x0E)).astype(np.int64))
+    c = int(np.uint64(0x123456789ABCDEF).astype(np.int64))
+    df = spark.createDataFrame([("a", a), ("b", b), ("c", c)], "doc_id string, h long")
+    pairs = {
+        (r["a"], r["b"], r["hamming"])
+        for r in hamming_pairs(df, "h", "doc_id", bits=64, bands=8, max_hamming=4).collect()
+    }
+    assert pairs == {("a", "b", 1)}
+    assert a < 0 and b < 0  # the edge actually exercised

@@ -263,6 +263,8 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "corpus_select",
         "corpus_mix",
         "minhash_buckets",
+        "decontaminate",
+        "image_neardup_phash",
         "simhash",
         "ann_topk",
         "ann_ivf",

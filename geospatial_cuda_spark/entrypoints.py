@@ -1315,7 +1315,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination (123 shared shingles) — discriminating both ways."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 50 == 0)
-    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    # the fixture is ONE tiny parquet file = one input split; a real corpus
+    # scan has thousands of splits. Spread the (cheap, pre-shingle) rows so
+    # the shingle codegen stage gets the parallelism a real scan would —
+    # measured 3.4 s single-task → sub-second at 32 (sf0.1)
+    corpus = docs.where(F.col("doc_id") % 50 != 0).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     return D.decontaminate(corpus, bench, k=20, min_overlap=5).select(
         F.col("doc_id").alias("corpus_id"), "bench_id", "n_overlap"
     )

@@ -123,6 +123,24 @@ AUDIT = [
         ["HashAggregate"],
     ),
     (
+        "decontaminate",
+        "Benchmark decontamination: corpus shingled by array_distinct+explode "
+        "in the SCAN stage (no relational distinct, so no corpus Exchange "
+        "before the join); benchmark shingles hash-BROADCAST; only matched "
+        "pairs reach the two-phase overlap count.",
+        ["BroadcastHashJoin", "HashAggregate"],
+    ),
+    (
+        "image_neardup_phash",
+        "Perceptual-hash image near-dup: decode/resize/phash run as "
+        "Arrow-batched MapInPandas stages INSIDE the eager localCheckpoint "
+        "(so this audited plan starts from the checkpointed hash relation — "
+        "Scan ExistingRDD); the banded Hamming self-join is an EQUI-join on "
+        "(band, key) — pigeonhole blocking, complete for hamming ≤ bands-1; "
+        "no cartesian node.",
+        ["BroadcastHashJoin", "ExistingRDD"],
+    ),
+    (
         "embedding_neardup",
         "Label-blocked cosine pairs: EQUI self-join on the block key; "
         "cosine via higher-order functions (JVM).",

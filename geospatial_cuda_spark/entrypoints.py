@@ -2634,7 +2634,10 @@ def q_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .writeStream.format("memory")
         .queryName(name)
-        .option("checkpointLocation", root + "_ck")
+        # inside root so the leading rmtree clears it too: a second call in
+        # the same session must not resume v3 offsets against a fresh v1
+        # table (the memory sink cannot recover from a checkpoint anyway)
+        .option("checkpointLocation", os.path.join(root, "_ck"))
         .start()
     )
     try:

@@ -36,7 +36,13 @@ def shingle_set(df: DataFrame, text: str = "text", id_col: str = "doc_id", k: in
     computed with ``array_distinct`` on the shingle array before the explode
     — all in one codegen stage, ZERO shuffle — instead of a relational
     ``.distinct()``, which would hash-exchange the full |corpus| × shingles
-    relation just to dedup rows that never left their source row."""
+    relation just to dedup rows that never left their source row.
+
+    PRECONDITION: one row per ``id_col`` (the documents-table contract every
+    caller already relies on — signatures, sizes, and overlap counts key by
+    doc). A corpus with duplicate ids would double-count shingles here;
+    dedup rows first (``exact_dedup_groups`` or a groupBy) — this function
+    will not pay a corpus-wide shuffle to mask an upstream ingest bug."""
     return df.select(
         F.col(id_col),
         F.explode(
@@ -329,6 +335,9 @@ def near_dup_simhash(
     return hamming_pairs(
         s, "simhash", id_col, bits=bits, bands=nibbles,
         max_hamming=max_hamming, max_df=max_df,
+        # this function's documented contract is best-effort blocking when
+        # max_hamming >= nibbles (candidate mining); keep that behavior
+        allow_partial=True,
     )
 
 
@@ -340,6 +349,7 @@ def hamming_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_df: int | None = None,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Generic banded Hamming self-join over any (id, ``bits``-wide hash)
     relation — the blocking engine shared by ``near_dup_simhash`` (16-bit
@@ -353,6 +363,12 @@ def hamming_pairs(
     long) bands identically to the numpy uint64 view that produced it."""
     if bits % bands:
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming >= bands and not allow_partial:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "guarantee needs max_hamming < bands — raise bands, or pass "
+            "allow_partial=True to accept best-effort candidate mining"
+        )
     s = rel.select(id_col, hash_col).localCheckpoint(eager=True)
     span = bits // bands
     blocks = None

@@ -57,34 +57,33 @@ class _FilePartition(InputPartition):
         self.bucket_value = bucket_value
 
 
-def _arrow_type_of(field):
-    """Arrow type for a Spark StructField via a 1-field schema conversion
-    (public API only: pyspark.sql.types -> pyarrow through to_arrow_schema
-    is private; pa.schema round-trips the JSON instead)."""
-    import pyarrow as pa
+def _arrow_fields(schema: StructType) -> list[tuple[str, object]]:
+    """[(name, arrow_type)] for a Spark schema — computed ONCE per file read
+    (to_arrow_type is a per-field conversion; re-running it per record batch
+    would put schema work on the executor-side hot path)."""
     from pyspark.sql.pandas.types import to_arrow_type
 
-    return to_arrow_type(field.dataType)
+    return [(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
 
 
-def _reconcile_batch(batch, schema: StructType, bucket_col: str, bucket_value):
-    """Project an Arrow batch onto the STREAM schema: inject the partition
-    column as a constant, null-fill columns the file predates, cast to the
-    schema's Arrow types (evolution forbids type changes, so casts are
-    lossless representation alignment, e.g. int32 footer vs long schema)."""
+def _reconcile_batch(batch, fields: list, bucket_col: str, bucket_value):
+    """Project an Arrow batch onto the STREAM schema (``fields`` from
+    :func:`_arrow_fields`): inject the partition column as a constant,
+    null-fill columns the file predates, cast to the schema's Arrow types
+    (evolution forbids type changes, so casts are lossless representation
+    alignment, e.g. int32 footer vs long schema)."""
     import pyarrow as pa
 
     cols, n = [], batch.num_rows
     names = set(batch.schema.names)
-    for f in schema.fields:
-        at = _arrow_type_of(f)
-        if f.name == bucket_col and f.name not in names:
-            cols.append(pa.array([bucket_value] * n).cast(at))
-        elif f.name in names:
-            cols.append(batch.column(f.name).cast(at))
+    for name, at in fields:
+        if name == bucket_col and name not in names:
+            cols.append(pa.repeat(pa.scalar(bucket_value, type=at), n))
+        elif name in names:
+            cols.append(batch.column(name).cast(at))
         else:
             cols.append(pa.nulls(n, type=at))
-    return pa.RecordBatch.from_arrays(cols, names=[f.name for f in schema.fields])
+    return pa.RecordBatch.from_arrays(cols, names=[name for name, _ in fields])
 
 
 class _SnapshotChangesStreamReader(DataSourceStreamReader):
@@ -128,12 +127,11 @@ class _SnapshotChangesStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(partition.path)
-        file_cols = [
-            f.name for f in self._schema.fields if f.name in set(pf.schema_arrow.names)
-        ]
+        fields = _arrow_fields(self._schema)
+        file_cols = [n for n, _ in fields if n in set(pf.schema_arrow.names)]
         for batch in pf.iter_batches(columns=file_cols or None):
             yield _reconcile_batch(
-                batch, self._schema, self._bucket_col, partition.bucket_value
+                batch, fields, self._bucket_col, partition.bucket_value
             )
 
     def commit(self, end: dict) -> None:

@@ -133,7 +133,6 @@ def test_overwrite_mid_stream_refuses(spark, tmp_path):
         )
         with pytest.raises(Exception, match="not an append-only step"):
             q.processAllAvailable()
-            raise AssertionError("stream accepted a non-append step")
     finally:
         q.stop()
 
@@ -151,7 +150,6 @@ def test_pending_deltas_refuse_initial_load(spark, tmp_path):
     try:
         with pytest.raises(Exception, match="pending merge-on-read deltas"):
             q.processAllAvailable()
-            raise AssertionError("initial load accepted pending deltas")
     finally:
         q.stop()
 

@@ -169,3 +169,67 @@ def test_evolved_table_null_fills_old_files_on_fresh_stream(spark, tmp_path):
         assert got.where(F.col("tag") == "x").count() == 20
     finally:
         q.stop()
+
+
+def test_source_composes_with_watermarked_window_agg(spark, tmp_path):
+    """End-to-end §2.9 composition: snapshot_changes SOURCE → watermarked
+    tumbling-window tile counts → sink. The windowed aggregate over the
+    stream (initial load + a live tail commit) must equal the same
+    aggregation run in batch over the final table — the source is a real
+    streaming relation, not just a row feed (state store, watermark and
+    append-mode window emission all engage)."""
+    from geospatial_cuda_spark.sources.snapshots import SnapshotTable
+    from geospatial_cuda_spark.streaming.windows import tile_window_counts
+
+    root = str(tmp_path / "t")
+    snap = SnapshotTable(root)
+
+    def events(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") * 7919 % 1_000_000).cast("double").alias("x"),
+            (F.col("id") * 104729 % 1_000_000).cast("double").alias("y"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 60).alias("event_time"),
+            (F.col("id") % 4).cast("string").alias("bucket"),
+        )
+
+    snap.commit(events(0, 200), "bucket")
+    register_snapshot_changes(spark)
+    name = _fresh("win")
+    stream = (
+        spark.readStream.format("snapshot_changes").option("path", root).load()
+    )
+    agg = tile_window_counts(stream, zoom=3, window="10 minutes", watermark="20 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", root + f"_ck_{name}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        snap.commit(events(200, 400), "bucket")  # tail while live
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name)
+    # batch twin over the final table; append mode only emits windows the
+    # watermark has CLOSED, so compare on that subset
+    batch = tile_window_counts(snap.read(spark), zoom=3).withColumnRenamed(
+        "n_events", "n_batch"
+    )
+    max_t = snap.read(spark).agg(F.max("event_time")).collect()[0][0]
+    import datetime
+
+    cutoff = F.lit(max_t - datetime.timedelta(minutes=20))
+    closed = got.where(F.col("win.end") <= cutoff)
+    batch_closed = batch.where(F.col("win.end") <= cutoff)
+    j = closed.join(batch_closed, on=["win", "tile_x", "tile_y"], how="full")
+    bad = j.where(
+        F.col("n_events").isNull()  # batch has a closed window the stream missed
+        | F.col("n_batch").isNull()  # stream emitted a window batch does not have
+        | (F.col("n_events") != F.col("n_batch"))
+    )
+    assert closed.count() > 0, "no windows closed — fixture too short"
+    assert bad.count() == 0

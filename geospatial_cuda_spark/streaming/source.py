@@ -126,7 +126,20 @@ class _SnapshotChangesStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(partition.path)
+        try:
+            pf = pq.ParquetFile(partition.path)
+        except FileNotFoundError as e:
+            # the manifest chain was valid when this batch was planned, so a
+            # missing file means the table was rewritten+vacuumed (or
+            # tampered with) between planning and read — tell the operator
+            # what happened instead of surfacing a bare executor IOError
+            raise FileNotFoundError(
+                f"{partition.path}: data file vanished after the microbatch "
+                "was planned — history was vacuumed past this stream's "
+                "offset (or the file was removed externally). Restart the "
+                "stream with a fresh checkpoint to re-plan from a live "
+                "version."
+            ) from e
         fields = _arrow_fields(self._schema)
         file_cols = [n for n, _ in fields if n in set(pf.schema_arrow.names)]
         for batch in pf.iter_batches(columns=file_cols or None):

@@ -395,3 +395,47 @@ def test_decontaminate_planted_overlap_cap_and_plan(spark):
     assert "BroadcastHashJoin" in plan
     stream_side = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning(shingle" not in stream_side
+
+
+def test_hamming_pairs_matches_bruteforce_random64(spark):
+    """hamming_pairs == numpy brute force over seeded random 64-bit hashes
+    (sign bit exercised with p=1/2 per hash): exact distances, no missed
+    pair (pigeonhole completeness through the real band-join code path),
+    no spurious pair; allow_partial output is a subset of brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**64, size=120, dtype=np.uint64)
+    # plant near pairs: copies of base hashes with 1-6 random bits flipped
+    flips = [(i, base[i] ^ np.uint64(sum(1 << b for b in rng.choice(64, size=k, replace=False))))
+             for k in range(1, 7) for i in rng.choice(120, size=4, replace=False)]
+    all_h = np.concatenate([base, np.array([h for _, h in flips], dtype=np.uint64)])
+    ids = [f"h{i}" for i in range(len(all_h))]
+    signed = all_h.view(np.int64)
+    df = spark.createDataFrame(
+        list(zip(ids, [int(v) for v in signed])), "doc_id string, h long"
+    )
+    from geospatial_cuda_spark.operators.dedup import hamming_pairs
+
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in hamming_pairs(df, "h", "doc_id", bits=64, bands=8, max_hamming=6).collect()
+    }
+    x = all_h[:, None] ^ all_h[None, :]
+    d = np.zeros_like(x, dtype=np.int64)
+    for b in range(64):
+        d += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    want = {}
+    for i in range(len(all_h)):
+        for j in range(len(all_h)):
+            a, b2 = ids[i], ids[j]
+            if a < b2 and d[i, j] <= 6:
+                want[(a, b2)] = int(d[i, j])
+    assert got == want and len(want) >= 20
+    # best-effort mode never invents pairs
+    part = {
+        (r["a"], r["b"]) for r in hamming_pairs(
+            df, "h", "doc_id", bits=64, bands=4, max_hamming=6, allow_partial=True
+        ).collect()
+    }
+    assert part <= set(want)

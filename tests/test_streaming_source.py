@@ -233,3 +233,27 @@ def test_source_composes_with_watermarked_window_agg(spark, tmp_path):
     )
     assert closed.count() > 0, "no windows closed — fixture too short"
     assert bad.count() == 0
+
+
+def test_vanished_file_raises_actionable_error(spark, tmp_path):
+    """A data file deleted between batch planning and read (vacuum racing a
+    lagging stream, or external tampering) must fail with an error naming
+    the cause and the fix, not a bare executor IOError."""
+    import os
+
+    root = str(tmp_path / "t")
+    snap = SnapshotTable(root)
+    snap.commit(_gen(spark, 0, 40), "bucket")
+    name = _fresh("gone")
+    q = _start(spark, root, name)
+    try:
+        q.processAllAvailable()
+        snap.commit(_gen(spark, 40, 80, bucket_base=4), "bucket")
+        # simulate the race: one of the v2 increment's files vanishes
+        _, added = snap.added_files(1, 2)
+        b, f = added[0]
+        os.remove(os.path.join(root, "data", f"bucket={b}", f))
+        with pytest.raises(Exception, match="vacuumed past this stream's offset"):
+            q.processAllAvailable()
+    finally:
+        q.stop()

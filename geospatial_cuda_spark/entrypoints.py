@@ -2428,6 +2428,16 @@ GROUP BY b.box_id
     # row) — a double-counted, missed, or phantom file breaks the sums.
     # the stream's final content is the whole table; per-generation sums
     # pin that each microbatch carried exactly its generation's files
+    # rollback erased generation 1 (and only it); per-generation sums pin
+    # both the restore and the post-rollback append
+    sqls["snapshot_rollback"] = """
+SELECT CAST(o_orderkey % 3 AS BIGINT) AS gen,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS cents_sum
+FROM orders WHERE o_orderkey % 3 <> 1 GROUP BY 1
+"""
+
     sqls["snapshot_stream"] = """
 SELECT CAST(o_orderkey % 3 AS BIGINT) AS gen,
        COUNT(*) AS n_rows,
@@ -2586,6 +2596,58 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = inc if out is None else out.unionByName(inc)
     return out.groupBy("from_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("okey").alias("key_sum"),
+        F.sum("cents").alias("cents_sum"),
+    )
+
+
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback under the driver's hash gate: commit order generation 0
+    (v1) and 1 (v2), roll back to v1 (v3 — history moves FORWARD, content
+    moves back), then commit generation 2 on top (v4). The final table must
+    hold exactly generations 0 and 2 — the oracle re-derives that from raw
+    orders. Mid-run invariants asserted inline: v4 is CURRENT, time travel
+    to v2 still sees generation 1, and the incremental reader refuses the
+    non-append rollback step."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotIncrementalError, SnapshotTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "geospark_rollback",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snap = SnapshotTable(root)
+    gen = F.pmod(F.col("o_orderkey"), F.lit(3))
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        gen.alias("gen"),
+        F.concat(
+            gen.cast("string"), F.lit("-"), F.pmod(F.col("o_orderkey"), F.lit(4)).cast("string")
+        ).alias("bucket"),
+    )
+    for g in (0, 1):
+        snap.commit(orders.where(F.col("gen") == g), "bucket")  # v1, v2
+    snap.rollback(1)                                            # v3 == v1
+    snap.commit(orders.where(F.col("gen") == 2), "bucket")      # v4
+    if snap.current()["version"] != 4:
+        raise AssertionError(f"expected v4 CURRENT, got {snap.current()['version']}")
+    # history intact: v2 still time-travels to generation 1's content
+    v2_gens = {r["gen"] for r in snap.read(spark, version=2).select("gen").distinct().collect()}
+    if v2_gens != {0, 1}:
+        raise AssertionError(f"v2 time travel saw generations {v2_gens}")
+    try:
+        snap.read_changes(spark, 1)
+        raise AssertionError("read_changes accepted the rollback step")
+    except SnapshotIncrementalError:
+        pass
+    return snap.read(spark).groupBy("gen").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("okey").alias("key_sum"),
         F.sum("cents").alias("cents_sum"),
@@ -2826,6 +2888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_incremental": q_snapshot_incremental,
     "snapshot_evolution": q_snapshot_evolution,
     "snapshot_stream": q_snapshot_stream,
+    "snapshot_rollback": q_snapshot_rollback,
 }
 
 ORACLES: dict[str, str] = _oracle_sqls()

@@ -70,6 +70,14 @@ class SnapshotSchemaError(RuntimeError):
     the wrong type. Write the new representation under a new column name."""
 
 
+class SnapshotVacuumedError(RuntimeError):
+    """The operation needs data files of an EXPIRED snapshot that ``vacuum``
+    has already removed (Iceberg's expire_snapshots contract: vacuumed
+    history is gone by design). Raised instead of publishing a manifest
+    that would reference missing files — a rollback must restore exactly,
+    never approximately."""
+
+
 class SnapshotConflictError(RuntimeError):
     """A concurrent committer published a snapshot that conflicts with this
     write: the touched buckets' state changed since it was read. The data
@@ -932,6 +940,66 @@ class SnapshotTable:
             "compacted_buckets": sorted(compact_rows) if compact_rows else [],
             "snapshot": manifest,
         }
+
+    def rollback(self, to_version: int) -> dict:
+        """Publish a NEW snapshot whose content is exactly ``to_version``
+        (the Iceberg ``rollback_to_snapshot`` model: HISTORY only moves
+        forward — the bad versions stay inspectable via time travel, data
+        moves back). No data I/O: the child manifest repoints at the
+        target's file/delta sets; cost is two manifest reads + one CAS
+        publish. Refuses if any of the target's files has been vacuumed
+        (CURRENT no longer referenced them, so ``vacuum`` may have removed
+        them — a rollback must restore exactly, never approximately) and on
+        legacy manifests without file lists. Concurrency: CAS-retried like
+        every publish; a concurrent commit simply becomes the parent (its
+        content is superseded by the rollback, which is the caller's stated
+        intent, but never silently dropped from history). Incremental
+        readers (``read_changes``, the ``snapshot_changes`` stream) see a
+        non-append step and refuse the range, as they must."""
+        m_t = self.store.read_version(to_version)
+        if m_t is None:
+            raise FileNotFoundError(
+                f"no snapshot v{to_version} at {self.path} to roll back to"
+            )
+        if "files" not in m_t:
+            raise RuntimeError(
+                f"rollback refused: v{to_version} is a legacy manifest "
+                "without file-level lists — its exact content is unknowable"
+            )
+        bucket_col = m_t["bucket_col"]
+        missing = [
+            os.path.join(f"{bucket_col}={b}", f)
+            for b, fs in m_t["files"].items()
+            for f in fs
+            if not os.path.exists(
+                os.path.join(self.data_dir, f"{bucket_col}={b}", f)
+            )
+        ]
+        if missing:
+            raise SnapshotVacuumedError(
+                f"rollback to v{to_version} impossible: {len(missing)} of "
+                f"its data files were vacuumed (first: {missing[0]})"
+            )
+
+        def build(p: dict | None) -> dict:
+            if p is None:  # pragma: no cover — a readable target implies one
+                raise SnapshotConflictError("table vanished during rollback")
+            return {
+                "version": p["version"] + 1,
+                "snapshot_id": uuid.uuid4().hex,
+                "parent_id": p["snapshot_id"],
+                "bucket_col": bucket_col,
+                **({"bucket_type": m_t["bucket_type"]} if "bucket_type" in m_t else {}),
+                "buckets": dict(m_t["buckets"]),
+                "files": {b: list(fs) for b, fs in m_t["files"].items()},
+                **({"schema": m_t["schema"]} if m_t.get("schema") else {}),
+                **({"stats": m_t["stats"]} if m_t.get("stats") else {}),
+                **({"deltas": m_t["deltas"]} if m_t.get("deltas") else {}),
+                **({"delta_key": m_t["delta_key"]} if "delta_key" in m_t else {}),
+                "metrics": {"op": "rollback", "rolled_back_to": to_version},
+            }
+
+        return self._publish_retry(self.current(), build)
 
     def _compact_into(
         self,

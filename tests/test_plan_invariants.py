@@ -33,6 +33,7 @@ EAGER = {
     "snapshot_incremental",
     "snapshot_evolution",
     "snapshot_stream",
+    "snapshot_rollback",
     "image_neardup_phash",  # hamming_pairs eager-localCheckpoints the hashes
     "neardup_components",
     "corpus_select_neardup",

@@ -152,3 +152,41 @@ def test_stats_pruning_safe_across_evolution(spark, v1_df, tmp_path):
         want.select(*sorted(want.columns))
     )
     assert got.count() == 20
+
+
+def test_rollback_restores_content_history_moves_forward(spark, v1_df, v2_df, tmp_path):
+    """rollback publishes a NEW version with exactly the target's content:
+    reads equal the target bit for bit, history keeps the bad versions
+    inspectable via time travel, incremental readers refuse across the
+    rollback step, a further append on top works, and a vacuumed target
+    refuses with SnapshotVacuumedError."""
+    from geospatial_cuda_spark.sources.snapshots import (
+        SnapshotIncrementalError,
+        SnapshotVacuumedError,
+    )
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(v1_df, "bucket")                                   # v1
+    t.commit(v2_df, "bucket")                                   # v2 (new buckets)
+    m = t.rollback(1)                                           # v3 == v1
+    assert m["version"] == 3 and m["metrics"]["rolled_back_to"] == 1
+    assert _rows(t.read(spark)) == _rows(t.read(spark, version=1))
+    assert _rows(t.read(spark, version=2)) != _rows(t.read(spark, version=1))
+    # incremental readers must refuse across the non-append step v2→v3
+    with pytest.raises(SnapshotIncrementalError):
+        t.read_changes(spark, 1)
+    # life goes on: append after the rollback, content = v1 + new buckets
+    extra = v2_df.withColumn("bucket", F.concat(F.lit("x"), F.col("bucket")))
+    t.commit(extra, "bucket")                                   # v4
+    assert t.current()["version"] == 4
+    # v4 reads under the evolved 4-column schema: v1-era rows null-fill tag
+    assert _rows(t.read(spark)) == sorted(
+        [r + (None,) for r in _rows(t.read(spark, version=1))] + _rows(extra)
+    )
+    # vacuum drops v2's (now unreferenced) files → rollback to v2 refuses
+    assert t.vacuum(stage_grace_sec=0) > 0
+    with pytest.raises(SnapshotVacuumedError, match="vacuumed"):
+        t.rollback(2)
+    # but re-rolling back to still-live content stays possible
+    t.rollback(1)
+    assert _rows(t.read(spark)) == _rows(t.read(spark, version=1))

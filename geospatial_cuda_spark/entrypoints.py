@@ -1176,6 +1176,23 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TXT.quality_score_col(F.col("text")).alias("quality"))
 
 
+QUANTILE_QS = [0.1, 0.5, 0.9, 0.99]
+
+
+def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-quality order statistics without a global sort (the
+    threshold-calibration step before a keep/drop quality gate): two-phase
+    bounded histogram + boundary-bin selection (`operators/quantiles.py`).
+    The oracle states the same ranks directly over a full ORDER BY — the
+    engine must reproduce the exact values while never sorting the
+    relation."""
+    from .operators.quantiles import exact_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(TXT.quality_score_col(F.col("text")).alias("quality"))
+    return exact_quantiles(scored, "quality", QUANTILE_QS)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
@@ -1746,6 +1763,22 @@ WITH m AS (SELECT doc_id,
   FROM documents)
 SELECT doc_id, {QUALITY_EXPR} AS quality
 FROM m
+"""
+
+    # quality_quantiles: the same order statistics stated as a full sort —
+    # rank floor(q·(n−1)) (0-based), value tie-invariant
+    _qlist = ", ".join(f"({q})" for q in QUANTILE_QS)
+    sqls["quality_quantiles"] = f"""
+WITH m AS (SELECT doc_id,
+  {QUALITY_M_COLS}
+  FROM documents),
+s AS (SELECT {QUALITY_EXPR} AS v FROM m),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n
+      FROM s)
+SELECT t.q, r.v AS value
+FROM r JOIN (VALUES {_qlist}) AS t(q)
+  ON r.rn = CAST(FLOOR(t.q * (r.n - 1)) AS BIGINT) + 1
 """
 
     sqls["exact_dedup"] = r"""
@@ -2853,6 +2886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
+    "quality_quantiles": q_quality_quantiles,
     "exact_dedup": q_exact_dedup,
     "doc_fingerprints": q_doc_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,

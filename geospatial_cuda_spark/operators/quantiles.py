@@ -1,0 +1,102 @@
+"""Exact distributed order statistics WITHOUT a global sort.
+
+The naive exact quantile is `ORDER BY value` + pick ranks — a full-relation
+sort whose final merge concentrates on few reducers; at 100 TB that is the
+slowest possible plan for a handful of output rows. Spark's built-in
+`percentile_approx` avoids the sort but is approximate AND its sketch
+merge order is not engine-portable (no DuckDB-replayable oracle).
+
+`exact_quantiles` is exact and sort-free — the same two-phase
+histogram-cut discipline as the corpus budget selection
+(`entrypoints.corpus_sample`):
+
+1. one grouped COUNT over a FIXED, bounded bin grid (bins is a constant,
+   never data-dependent), partial-aggregated map-side; the ≤`bins`-row
+   histogram is the only thing the driver sees;
+2. exact rank arithmetic on the histogram pins each target rank to one
+   boundary bin; ONLY those bins' rows (≈ n/bins of the relation per
+   target) are re-read, ranked within their bin by a window, and the
+   offset row selected. Rows outside boundary bins never shuffle at all.
+
+Worst case: a degenerate distribution concentrating one bin (e.g. a
+constant column) makes the boundary-bin window that bin-sized; refine by
+recursing the same histogram on the bin's sub-range if that ever matters —
+for genuinely constant data any row is the answer.
+
+Reference scope: the reference engine has no aggregation beyond counts
+(`cuda/create_grid.cu` count rollups); this is pipeline-layer scope (corpus
+quality calibration — choosing keep/drop thresholds needs exact quantiles
+of the quality score at 100 TB).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    bins: int = 10_001,
+    vmin: float = 0.0,
+    vmax: float = 1.0,
+) -> DataFrame:
+    """(q, value) for each q in ``qs``: value = the ``floor(q·(n-1))``-th
+    (0-based) smallest of ``value_col`` — exact, deterministic under ties
+    (the rank's VALUE is tie-invariant), never sorting the relation.
+
+    ``[vmin, vmax]`` must cover the data (values are clamped into the edge
+    bins, which only affects which bin a rank lands in, never the exact
+    within-bin selection). The histogram shape is O(bins) driver memory —
+    a constant, data-independent bound.
+    """
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+    if vmax <= vmin:
+        raise ValueError(f"empty value range [{vmin}, {vmax}]")
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    bin_col = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((v - vmin) * ((bins - 1) / (vmax - vmin))).cast("int"),
+        ),
+    )
+    binned = df.select(v.alias("_v"), bin_col.alias("_bin"))
+    hist = {
+        r["_bin"]: r["n"]
+        for r in binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(hist.values())
+    if n == 0:
+        raise ValueError("exact_quantiles on an empty relation")
+    # exact rank arithmetic on the tiny histogram: rank -> (bin, offset)
+    order = sorted(hist)
+    targets: list[tuple[float, int, int]] = []  # (q, bin, offset_within_bin)
+    for q in qs:
+        r = math.floor(q * (n - 1))
+        below = 0
+        for b in order:
+            if below + hist[b] > r:
+                targets.append((q, b, r - below))
+                break
+            below += hist[b]
+    boundary = sorted({b for _, b, _ in targets})
+    tdf = F.broadcast(
+        spark.createDataFrame(targets, "q double, _bin int, _off long")
+    )
+    ranked = (
+        binned.where(F.col("_bin").isin(boundary))
+        .withColumn(
+            "_off",
+            F.row_number().over(Window.partitionBy("_bin").orderBy("_v")) - 1,
+        )
+    )
+    return (
+        ranked.join(tdf, on=["_bin", "_off"])
+        .select("q", F.col("_v").alias("value"))
+    )

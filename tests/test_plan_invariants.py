@@ -34,6 +34,7 @@ EAGER = {
     "snapshot_evolution",
     "snapshot_stream",
     "snapshot_rollback",
+    "quality_quantiles",  # histogram pass collects the bounded bin counts
     "image_neardup_phash",  # hamming_pairs eager-localCheckpoints the hashes
     "neardup_components",
     "corpus_select_neardup",

@@ -259,6 +259,8 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "pip_polygon_holes",
         "snapshot_lineage",
         "snapshot_prune",
+        "snapshot_rollback",
+        "quality_quantiles",
         "exact_dedup",
         "corpus_select",
         "corpus_mix",

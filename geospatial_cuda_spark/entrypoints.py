@@ -2459,8 +2459,6 @@ GROUP BY b.box_id
     # from-version; the oracle knows increment (from_v → 3) is exactly the
     # generations from_v..2, and that the v3→v3 increment is EMPTY (no output
     # row) — a double-counted, missed, or phantom file breaks the sums.
-    # the stream's final content is the whole table; per-generation sums
-    # pin that each microbatch carried exactly its generation's files
     # rollback erased generation 1 (and only it); per-generation sums pin
     # both the restore and the post-rollback append
     sqls["snapshot_rollback"] = """
@@ -2471,6 +2469,8 @@ SELECT CAST(o_orderkey % 3 AS BIGINT) AS gen,
 FROM orders WHERE o_orderkey % 3 <> 1 GROUP BY 1
 """
 
+    # the stream's final content is the whole table; per-generation sums
+    # pin that each microbatch carried exactly its generation's files
     sqls["snapshot_stream"] = """
 SELECT CAST(o_orderkey % 3 AS BIGINT) AS gen,
        COUNT(*) AS n_rows,

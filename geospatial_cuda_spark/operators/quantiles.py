@@ -47,11 +47,19 @@ def exact_quantiles(
     """(q, value) for each q in ``qs``: value = the ``floor(q·(n-1))``-th
     (0-based) smallest of ``value_col`` — exact, deterministic under ties
     (the rank's VALUE is tie-invariant), never sorting the relation.
+    NULL and NaN rows are EXCLUDED before ranking (the numpy/SQL
+    percentile convention; binning them would silently shift every rank).
 
     ``[vmin, vmax]`` must cover the data (values are clamped into the edge
     bins, which only affects which bin a rank lands in, never the exact
     within-bin selection). The histogram shape is O(bins) driver memory —
     a constant, data-independent bound.
+
+    The relation is scanned twice (histogram, then boundary-bin select)
+    under Spark's usual lineage-determinism assumption. If the source can
+    change between jobs (a live table), the selection join could silently
+    drop a target — so every missing target raises instead
+    (``raise_error`` on the preserved-targets side of the join).
     """
     if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
         raise ValueError(f"quantiles must be in [0, 1], got {qs}")
@@ -66,7 +74,9 @@ def exact_quantiles(
             F.floor((v - vmin) * ((bins - 1) / (vmax - vmin))).cast("int"),
         ),
     )
-    binned = df.select(v.alias("_v"), bin_col.alias("_bin"))
+    binned = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        v.alias("_v"), bin_col.alias("_bin")
+    )
     hist = {
         r["_bin"]: r["n"]
         for r in binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -86,9 +96,11 @@ def exact_quantiles(
                 break
             below += hist[b]
     boundary = sorted({b for _, b, _ in targets})
-    tdf = F.broadcast(
-        spark.createDataFrame(targets, "q double, _bin int, _off long")
-    )
+    # tdf is the PRESERVED side of the outer join below (missing targets
+    # must surface as rows), so it cannot be the broadcast build side; the
+    # probe side is boundary-bin rows only, already hashed by _bin from the
+    # window, so the residual shuffle is O(n/bins · |boundary|)
+    tdf = spark.createDataFrame(targets, "q double, _bin int, _off long")
     ranked = (
         binned.where(F.col("_bin").isin(boundary))
         .withColumn(
@@ -97,6 +109,20 @@ def exact_quantiles(
         )
     )
     return (
-        ranked.join(tdf, on=["_bin", "_off"])
-        .select("q", F.col("_v").alias("value"))
+        ranked.join(tdf, on=["_bin", "_off"], how="right")
+        .select(
+            "q",
+            F.when(F.col("_v").isNotNull(), F.col("_v"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "exact_quantiles: a target rank vanished between the "
+                        "histogram and selection passes — the input relation "
+                        "is not stable across jobs (pin it with "
+                        "localCheckpoint/persist before calling)"
+                    )
+                )
+            )
+            .alias("value"),
+        )
     )

@@ -715,6 +715,7 @@ class SnapshotTable:
                 **({"stats": all_stats} if all_stats else {}),
                 **({"deltas": p["deltas"]} if p and p.get("deltas") else {}),
                 **({"delta_key": p["delta_key"]} if p and "delta_key" in p else {}),
+                **({"delta_op": p["delta_op"]} if p and "delta_op" in p else {}),
                 "metrics": {
                     "wall_sec": round(wall, 3),
                     "rows_written": int(sum(my_rows.values())),
@@ -808,6 +809,7 @@ class SnapshotTable:
                 **({"stats": kept_stats} if kept_stats else {}),
                 **({"deltas": kept_deltas} if kept_deltas else {}),
                 **({"delta_key": p["delta_key"]} if p and "delta_key" in p else {}),
+                **({"delta_op": p["delta_op"]} if p and "delta_op" in p else {}),
                 "metrics": {
                     "wall_sec": round(wall, 3),
                     "rows_written": int(sum(rows.values())),
@@ -967,23 +969,44 @@ class SnapshotTable:
                 "without file-level lists — its exact content is unknowable"
             )
         bucket_col = m_t["bucket_col"]
-        missing = [
-            os.path.join(f"{bucket_col}={b}", f)
-            for b, fs in m_t["files"].items()
-            for f in fs
-            if not os.path.exists(
-                os.path.join(self.data_dir, f"{bucket_col}={b}", f)
-            )
-        ]
-        if missing:
-            raise SnapshotVacuumedError(
-                f"rollback to v{to_version} impossible: {len(missing)} of "
-                f"its data files were vacuumed (first: {missing[0]})"
-            )
+
+        def check_vacuumed() -> None:
+            """Target files (base AND merge-on-read delta) must all still
+            exist — vacuum removes whatever CURRENT no longer references.
+            Re-run inside every build() attempt so a vacuum racing a CAS
+            retry cannot slip a dead manifest through; the residual window
+            between the last check and the publish is the same one Iceberg
+            accepts (concurrent expire_snapshots + rollback is operator
+            error either way)."""
+            missing = [
+                os.path.join(f"{bucket_col}={b}", f)
+                for b, fs in m_t["files"].items()
+                for f in fs
+                if not os.path.exists(
+                    os.path.join(self.data_dir, f"{bucket_col}={b}", f)
+                )
+            ] + [
+                os.path.join("deltas", f"{bucket_col}={b}", f)
+                for b, batches in (m_t.get("deltas") or {}).items()
+                for _, fs in batches
+                for f in fs
+                if not os.path.exists(
+                    os.path.join(self.delta_dir, f"{bucket_col}={b}", f)
+                )
+            ]
+            if missing:
+                raise SnapshotVacuumedError(
+                    f"rollback to v{to_version} impossible: {len(missing)} "
+                    f"of its data/delta files were vacuumed "
+                    f"(first: {missing[0]})"
+                )
+
+        check_vacuumed()
 
         def build(p: dict | None) -> dict:
             if p is None:  # pragma: no cover — a readable target implies one
                 raise SnapshotConflictError("table vanished during rollback")
+            check_vacuumed()
             return {
                 "version": p["version"] + 1,
                 "snapshot_id": uuid.uuid4().hex,
@@ -996,6 +1019,7 @@ class SnapshotTable:
                 **({"stats": m_t["stats"]} if m_t.get("stats") else {}),
                 **({"deltas": m_t["deltas"]} if m_t.get("deltas") else {}),
                 **({"delta_key": m_t["delta_key"]} if "delta_key" in m_t else {}),
+                **({"delta_op": m_t["delta_op"]} if "delta_op" in m_t else {}),
                 "metrics": {"op": "rollback", "rolled_back_to": to_version},
             }
 

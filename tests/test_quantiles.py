@@ -55,3 +55,13 @@ def test_exact_quantiles_input_validation(spark):
         exact_quantiles(df, "v", [0.5], vmin=1.0, vmax=1.0)
     with pytest.raises(ValueError, match="empty relation"):
         exact_quantiles(df.where(F.col("v") > 9), "v", [0.5])
+
+
+def test_exact_quantiles_excludes_null_and_nan(spark):
+    """NULL/NaN rows are excluded from ranking (numpy/SQL percentile
+    convention) — they must shift no rank and never surface as a value."""
+    rows = [(0.1,), (0.2,), (None,), (0.3,), (float("nan"),), (0.4,), (0.5,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["q"]: r["value"] for r in
+           exact_quantiles(df, "v", [0.0, 0.5, 1.0], bins=11).collect()}
+    assert got == {0.0: 0.1, 0.5: 0.3, 1.0: 0.5}

@@ -190,3 +190,32 @@ def test_rollback_restores_content_history_moves_forward(spark, v1_df, v2_df, tm
     # but re-rolling back to still-live content stays possible
     t.rollback(1)
     assert _rows(t.read(spark)) == _rows(t.read(spark, version=1))
+
+
+def test_rollback_guards_delta_files_and_carries_delta_op(spark, v1_df, tmp_path):
+    """The vacuum guard covers merge-on-read DELTA files too (a rollback to
+    a delta-bearing version whose delta files were vacuumed must refuse,
+    not publish an unreadable CURRENT), and a successful rollback restores
+    delta content exactly — including a non-default op column."""
+    from geospatial_cuda_spark.sources.snapshots import SnapshotVacuumedError
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(v1_df, "bucket")                                   # v1
+    d = spark.createDataFrame(
+        [(1000, "0", 5, "i"), (0, "0", 0, "d")],
+        "pid long, bucket string, val long, myop string",
+    )
+    t.append_deltas(d, "bucket", ["0"], key_cols=["pid"], op_col="myop")  # v2
+    v2_rows = _rows(t.read(spark))
+    assert (1000, "0", 5) in v2_rows and all(r[0] != 0 for r in v2_rows)
+    t.rollback(1)                                               # v3 == v1
+    t.rollback(2)                                               # v4 == v2 (deltas + op col restored)
+    assert _rows(t.read(spark)) == v2_rows
+    # roll forward to plain v1 content, vacuum the now-orphaned delta files,
+    # then a rollback to the delta-bearing v2 must refuse
+    t.rollback(1)                                               # v5 == v1
+    assert t.vacuum(stage_grace_sec=0) > 0
+    with pytest.raises(SnapshotVacuumedError, match="delta"):
+        t.rollback(2)
+    # CURRENT stayed readable throughout
+    assert _rows(t.read(spark)) == _rows(t.read(spark, version=1))

@@ -123,6 +123,23 @@ AUDIT = [
         ["HashAggregate"],
     ),
     (
+        "quality_quantiles",
+        "Exact sort-free order statistics: the bounded histogram pass runs "
+        "eagerly at construction (collect of ≤ bins rows); this audited plan "
+        "is the boundary-bin selection — a Window row_number over ONLY the "
+        "boundary bins joined to the tiny preserved targets relation; NO "
+        "rangepartitioning exchange anywhere (nothing globally sorts).",
+        ["Window"],
+    ),
+    (
+        "snapshot_rollback",
+        "Rollback protocol query (eager, file-I/O by design like "
+        "snapshot_lineage): commits two generations, rolls back, commits a "
+        "third; audited plan is the final manifest-pinned read + two-phase "
+        "per-generation aggregate.",
+        ["HashAggregate"],
+    ),
+    (
         "decontaminate",
         "Benchmark decontamination: corpus shingled by array_distinct+explode "
         "in the SCAN stage (no relational distinct, so no corpus Exchange "

@@ -1188,6 +1188,9 @@ def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation."""
     from .operators.quantiles import exact_quantiles
 
+    # (unlike decontaminate, no fixture repartition: scoring the one-file
+    # fixture is 0.2 s single-task — an up-front shuffle would only add a
+    # fixed exchange to both of the operator's passes)
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(TXT.quality_score_col(F.col("text")).alias("quality"))
     return exact_quantiles(scored, "quality", QUANTILE_QS)

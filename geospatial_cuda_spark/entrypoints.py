@@ -2462,6 +2462,15 @@ GROUP BY b.box_id
     # from-version; the oracle knows increment (from_v → 3) is exactly the
     # generations from_v..2, and that the v3→v3 increment is EMPTY (no output
     # row) — a double-counted, missed, or phantom file breaks the sums.
+    # streaming dedup: exactly one row per distinct key — DISTINCT restated
+    sqls["stream_dedup"] = """
+WITH k AS (SELECT DISTINCT CAST(o_orderkey % 1000 AS BIGINT) AS dkey FROM orders)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(dkey) AS BIGINT) AS key_sum,
+       CAST(SUM(dkey * 7 + 13) AS BIGINT) AS pay_sum
+FROM k
+"""
+
     # rollback erased generation 1 (and only it); per-generation sums pin
     # both the restore and the post-rollback append
     sqls["snapshot_rollback"] = """
@@ -2635,6 +2644,78 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("okey").alias("key_sum"),
         F.sum("cents").alias("cents_sum"),
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup under the driver's hash gate: three order
+    generations (overlapping dedup keys o_orderkey % 1000, identical
+    payloads per key) land as snapshot commits; a live stream
+    (snapshot_changes source → dropDuplicatesWithinWatermark) must emit
+    each key EXACTLY once across the initial load and the tailed commits.
+    The memory-sink content is aggregated and re-derived by the oracle as
+    SELECT DISTINCT arithmetic over raw orders. Inline asserts pin that
+    duplicates actually existed and that none survived."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.snapshots import SnapshotTable
+    from .streaming.dedup import dedup_stream
+    from .streaming.source import register_snapshot_changes
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "geospark_streamdedup",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snap = SnapshotTable(root)
+    gen = F.pmod(F.col("o_orderkey"), F.lit(3))
+    dkey = F.pmod(F.col("o_orderkey"), F.lit(1000)).cast("long")
+    rows = _t(spark, sf_dir, "orders").select(
+        dkey.alias("dkey"),
+        (dkey * 7 + 13).alias("pay"),  # payload depends ONLY on the key:
+        # whichever duplicate survives, the row is identical
+        (F.lit(1_700_000_000) + dkey).alias("ts_sec"),
+        gen.alias("gen"),
+        F.concat(
+            gen.cast("string"), F.lit("-"), F.pmod(dkey, F.lit(4)).cast("string")
+        ).alias("bucket"),
+    )
+    snap.commit(rows.where(F.col("gen") == 0), "bucket")  # v1
+    register_snapshot_changes(spark)
+    name = f"sdedup_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.format("snapshot_changes").option("path", root).load()
+        .withColumn("event_time", F.timestamp_seconds(F.col("ts_sec")))
+    )
+    q = (
+        dedup_stream(stream, ["dkey"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(root, "_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for g in (1, 2):  # tail two more generations while live
+            snap.commit(rows.where(F.col("gen") == g), "bucket")
+        q.processAllAvailable()
+        got = spark.table(name)
+        n_raw = snap.read(spark).count()
+        n_keys = got.count()
+        if n_keys >= n_raw:
+            raise AssertionError(f"no duplicates in fixture ({n_keys} of {n_raw})")
+        if got.select("dkey").distinct().count() != n_keys:
+            raise AssertionError("a duplicate key survived the streaming dedup")
+    finally:
+        q.stop()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("dkey").alias("key_sum"),
+        F.sum("pay").alias("pay_sum"),
     )
 
 
@@ -2926,6 +3007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_evolution": q_snapshot_evolution,
     "snapshot_stream": q_snapshot_stream,
     "snapshot_rollback": q_snapshot_rollback,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLES: dict[str, str] = _oracle_sqls()

@@ -35,6 +35,7 @@ EAGER = {
     "snapshot_stream",
     "snapshot_rollback",
     "quality_quantiles",  # histogram pass collects the bounded bin counts
+    "stream_dedup",
     "image_neardup_phash",  # hamming_pairs eager-localCheckpoints the hashes
     "neardup_components",
     "corpus_select_neardup",

@@ -257,3 +257,64 @@ def test_vanished_file_raises_actionable_error(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_stream_dedup_emits_first_arrival_once(spark, tmp_path):
+    """dedup_stream over the snapshot_changes source: duplicate keys inside
+    one microbatch AND across later commits (within the watermark horizon)
+    are emitted exactly once; distinct keys all survive; restart from the
+    checkpoint does not re-emit."""
+    from geospatial_cuda_spark.sources.snapshots import SnapshotTable
+    from geospatial_cuda_spark.streaming.dedup import dedup_stream
+
+    root = str(tmp_path / "t")
+    snap = SnapshotTable(root)
+
+    def batch(keys, gen):
+        return (
+            spark.createDataFrame([(int(k),) for k in keys], "dkey long")
+            .select(
+                "dkey",
+                (F.col("dkey") * 7).alias("pay"),
+                (F.lit(1_700_000_000) + F.col("dkey")).alias("ts_sec"),
+                F.lit(str(gen)).alias("bucket"),
+            )
+        )
+
+    snap.commit(batch([1, 2, 2, 3, 3, 3], 0), "bucket")  # in-batch dups
+    register_snapshot_changes(spark)
+    name = _fresh("sd")
+    out = str(tmp_path / "out")
+    ck = root + f"_ck_{name}"
+
+    def start():
+        stream = (
+            spark.readStream.format("snapshot_changes").option("path", root).load()
+            .withColumn("event_time", F.timestamp_seconds(F.col("ts_sec")))
+        )
+        return (
+            dedup_stream(stream, ["dkey"], watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        snap.commit(batch([2, 3, 4], 1), "bucket")  # cross-batch dups + a new key
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert sorted(r["dkey"] for r in got.collect()) == [1, 2, 3, 4]
+    # restart on the same checkpoint: a replayed/new commit with only dup
+    # keys must add nothing
+    snap.commit(batch([1, 4], 2), "bucket")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r["dkey"] for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4]

@@ -318,3 +318,48 @@ def test_stream_dedup_emits_first_arrival_once(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(r["dkey"] for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4]
+
+
+def test_stream_dedup_documents_fingerprint_matches_batch_identity(spark, tmp_path):
+    """dedup_documents_stream keys on the SAME normalized fingerprint as
+    batch exact_dedup: whitespace/case variants of one text are one
+    duplicate group in the stream too."""
+    from geospatial_cuda_spark.operators.dedup import exact_dedup_groups
+    from geospatial_cuda_spark.sources.snapshots import SnapshotTable
+    from geospatial_cuda_spark.streaming.dedup import dedup_documents_stream
+
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "  THE  quick   brown FOX "),  # normalized-equal to 0
+        (2, "a different document"),
+        (3, "the quick brown fox"),        # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text",
+        (F.lit(1_700_000_000) + F.col("doc_id")).alias("ts_sec"),
+        (F.col("doc_id") % 2).cast("string").alias("bucket"),
+    )
+    root = str(tmp_path / "t")
+    SnapshotTable(root).commit(docs, "bucket")
+    register_snapshot_changes(spark)
+    name = _fresh("fp")
+    stream = (
+        spark.readStream.format("snapshot_changes").option("path", root).load()
+        .withColumn("event_time", F.timestamp_seconds(F.col("ts_sec")))
+    )
+    q = (
+        dedup_documents_stream(stream, watermark="1 hour")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", root + f"_ck_{name}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name)
+    assert got.count() == 2  # one per identity group
+    n_batch_groups = exact_dedup_groups(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).count()
+    assert got.select("fingerprint").distinct().count() == n_batch_groups == 2

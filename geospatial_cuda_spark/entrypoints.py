@@ -1188,10 +1188,17 @@ def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation."""
     from .operators.quantiles import exact_quantiles
 
-    # (unlike decontaminate, no fixture repartition: scoring the one-file
-    # fixture is 0.2 s single-task — an up-front shuffle would only add a
-    # fixed exchange to both of the operator's passes)
-    docs = _t(spark, sf_dir, "documents")
+    # same fixture-parallelism rationale as decontaminate: the documents
+    # fixture is ONE parquet row group = one input split, so the scoring
+    # scan (the operator's dominant cost — regexp/split over every text)
+    # would run single-task at any core count. The pre-score repartition
+    # spreads the cheap raw rows; a real corpus scan arrives in thousands
+    # of splits and the repartition coalesces into the same shape.
+    # exact_quantiles materializes the scored projection internally, so
+    # scoring runs ONCE regardless of the operator's two passes.
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     scored = docs.select(TXT.quality_score_col(F.col("text")).alias("quality"))
     return exact_quantiles(scored, "quality", QUANTILE_QS)
 
@@ -1364,9 +1371,14 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     B = CORPUS_TOKEN_BUDGET
     sel = q_corpus_select(spark, sf_dir)
+    # the binned selection feeds THREE consumers (bin histogram, full-bin
+    # semi-join, boundary-bin scan); the eager localCheckpoint materializes
+    # the dedup+scoring pipeline once instead of three times (guide §1.2) —
+    # a fresh RDD per call, reclaimed when the frame drops, never a
+    # cross-run cache
     binned = sel.withColumn(
         "_bin", F.round(F.col("quality") * 10000).cast("long")
-    )
+    ).localCheckpoint(eager=True)
     bin_sums = binned.groupBy("_bin").agg(F.sum("n_tok").alias("_btok"))
     cum = bin_sums.withColumn(
         "_cum", F.sum("_btok").over(Window.orderBy(F.desc("_bin")))
@@ -1415,9 +1427,12 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = K.cluster_assign(emb, MIX_CLUSTERS).select(
         F.col("vec_id").alias("doc_id"), "cluster"
     )
+    # three consumers (histogram, full-bin semi-join, boundary scan) —
+    # materialize the dedup+scoring+assignment pipeline once (guide §1.2);
+    # fresh RDD per call, reclaimed when the frame drops
     d = sel.join(cl, on="doc_id").withColumn(
         "_bin", F.round(F.col("quality") * 10000).cast("long")
-    )
+    ).localCheckpoint(eager=True)
     bs = d.groupBy("cluster", "_bin").agg(F.sum("n_tok").alias("_btok"))
     wc = Window.partitionBy("cluster").orderBy(F.desc("_bin"))
     cum = bs.withColumn("_cum", F.sum("_btok").over(wc))
@@ -1453,7 +1468,12 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc token/char budget the sampler downstream consumes. One
     hash-groupBy shuffle (the dedup) + a semi-join + pure-Column scoring —
     the composition shape that scales to the full corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    # one-row-group fixture → single-task scoring without the repartition
+    # (same rationale as decontaminate / quality_quantiles); both the md5
+    # fingerprint branch and the scoring branch inherit the parallelism
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     keep = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
     sel = docs.join(keep, on="doc_id", how="left_semi").select(
         "doc_id",
@@ -1461,6 +1481,14 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         TXT.token_count_col(F.col("text")).cast("int").alias("n_tok"),
         F.length(F.trim(F.col("text"))).cast("int").alias("n_chr"),
     )
+    # materialize the scored columns BEFORE the quality gate: a filter on a
+    # computed column is pushed below the projection and duplicates the
+    # scoring expression into it (one eval in the filter, one in the
+    # project — guide §4.4's shape, measured ~2× the scoring scan); the
+    # checkpointed relation is 4 skinny columns per surviving doc and the
+    # gate becomes a cheap column test. Fresh RDD per call — never a
+    # cross-run cache.
+    sel = sel.localCheckpoint(eager=True)
     return sel.where(F.col("quality") >= CORPUS_QUALITY_MIN)
 
 

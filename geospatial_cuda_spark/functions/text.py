@@ -47,7 +47,13 @@ def quality_score_col(text: Column) -> Column:
     mean-word-length window (0.2); rounded to 4dp for cross-engine equality."""
     t = F.trim(text)
     n_chars = F.length(t).cast("double")
-    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    # alpha count via translate (delete the 52 ASCII letters, subtract):
+    # identical to length(regexp_replace(t, '[^A-Za-z]', '')) for every
+    # input — both count exactly the [A-Za-z] occurrences — but translate
+    # is a table lookup per char where the regexp walks the NFA per char
+    # (measured ~3× on the scoring scan)
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    n_alpha = (F.length(t) - F.length(F.translate(t, letters, ""))).cast("double")
     n_tok = token_count_col(t).cast("double")
     len_sat = F.least(n_chars / F.lit(400.0), F.lit(1.0))
     alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(n_alpha / n_chars)

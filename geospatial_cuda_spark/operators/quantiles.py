@@ -55,26 +55,48 @@ def exact_quantiles(
     within-bin selection). The histogram shape is O(bins) driver memory —
     a constant, data-independent bound.
 
-    The relation is scanned twice (histogram, then boundary-bin select)
-    under Spark's usual lineage-determinism assumption. If the source can
-    change between jobs (a live table), the selection join could silently
-    drop a target — so every missing target raises instead
-    (``raise_error`` on the preserved-targets side of the join).
+    The skinny (value, bin) projection is materialized once and both
+    passes (histogram, boundary-bin select) read it — the upstream scoring
+    scan executes exactly once, and the two passes can never observe
+    different data. The ``raise_error`` guard on the preserved-targets side
+    of the selection join stays as a structural invariant check (a missing
+    target now indicates an operator bug, not source drift).
     """
     if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
         raise ValueError(f"quantiles must be in [0, 1], got {qs}")
     if vmax <= vmin:
         raise ValueError(f"empty value range [{vmin}, {vmax}]")
     spark = df.sparkSession
-    v = F.col(value_col).cast("double")
-    bin_col = F.least(
-        F.lit(bins - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((v - vmin) * ((bins - 1) / (vmax - vmin))).cast("int"),
-        ),
+    # Materialize the skinny value projection ONCE (eager localCheckpoint),
+    # BEFORE the null/NaN filter and the bin derivation touch it:
+    # - the operator needs two passes (histogram, then boundary-bin
+    #   selection); without the checkpoint each pass re-executes the
+    #   caller's full upstream — for quality_quantiles that is the
+    #   regexp-heavy scoring scan, the operator's dominant cost;
+    # - filtering on a COMPUTED column makes the optimizer push the filter
+    #   below the projection and duplicate the whole scoring expression
+    #   into it (isnull + isnan + projection = 3 evaluations per row —
+    #   measured 0.3 s → 3.7 s on the sf1.0 scoring scan); filtering the
+    #   checkpointed values is a cheap column test instead.
+    # 8 bytes/row in block storage, reclaimed by the ContextCleaner when
+    # the returned frame is dropped — unlike a persist, a fresh RDD per
+    # call can never serve a later run's pass.
+    vals = df.select(F.col(value_col).cast("double").alias("_v")).localCheckpoint(
+        eager=True
     )
-    binned = df.where(v.isNotNull() & ~F.isnan(v)).select(
+    v = F.col("_v")
+    # clamp in LONG space, cast after (ADVICE r5): floor() yields a long, and
+    # an out-of-range value with |index| >= 2^31 would wrap under the int
+    # cast BEFORE the old clamp could see it — silently landing in the wrong
+    # edge bin instead of the promised nearest one.
+    bin_col = F.least(
+        F.lit(bins - 1).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((v - vmin) * ((bins - 1) / (vmax - vmin))),
+        ),
+    ).cast("int")
+    binned = vals.where(v.isNotNull() & ~F.isnan(v)).select(
         v.alias("_v"), bin_col.alias("_bin")
     )
     hist = {

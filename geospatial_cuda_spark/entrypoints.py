@@ -501,7 +501,11 @@ def q_pip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], dtype=np.float64))
         for i, x1, y1, x2, y2 in PIP_RECTS
     ]
-    hit = P.point_in_polygons(_points(spark, sf_dir), polys)
+    # scorer="jvm": same ray cast as codegen Column arithmetic (bit-identical
+    # masks, pytest-pinned) — at 6M points the Arrow boundary round trip
+    # alone cost ~1.9 s against ~0.25 s of mask compute (guide §4.1: prefer
+    # built-in expressions when they express the same computation)
+    hit = P.point_in_polygons(_points(spark, sf_dir), polys, scorer="jvm")
     return hit.groupBy("poly_id").agg(
         F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid")
     )
@@ -521,7 +525,8 @@ def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
             [200_000.0, 350_000.0],
         ]
     )
-    hit = P.point_in_polygons(_points(spark, sf_dir), [(0, hexagon)])
+    # scorer="jvm": see q_pip_rects — boundary-tax removal, identical masks
+    hit = P.point_in_polygons(_points(spark, sf_dir), [(0, hexagon)], scorer="jvm")
     return hit.groupBy("poly_id").agg(
         F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid")
     )
@@ -2593,7 +2598,14 @@ def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
         stat_cols=["x", "y"],
         sort_cols=[zorder_key([("x", 0, 1_000_000), ("y", 0, 1_000_000)])],
-        max_records_per_file=4096,
+        # file sizing follows guide §6 (fewer, larger files): 4096-row
+        # (~90 KB) files made the sf1.0 commit write ~1,500 files — the
+        # write job, the driver footer-stats pass and the per-file renames
+        # all scale with file COUNT (measured 8.0 s → 5.4 s commit at
+        # 65536). Pruning granularity stays real at every bench scale
+        # (sf1.0: ~27 z-ordered files per bucket) and the result is
+        # layout-independent either way.
+        max_records_per_file=65536,
     )
     pts = _points(spark, sf_dir).withColumn(
         "bucket", F.pmod(F.col("pid"), F.lit(4)).cast("string")

@@ -79,10 +79,21 @@ def knn_bruteforce(
             pids = b[pid].to_numpy(np.int64)
             d2 = (px[:, None] - q_x[None, :]) ** 2 + (py[:, None] - q_y[None, :]) ** 2
             kk = min(k, len(b))
+            # batch-local top-k: ONE vectorized argpartition across all
+            # queries selects each column's kk smallest d2 (a full per-query
+            # lexsort of the batch was the operator's dominant cost —
+            # O(n log n)·Q per batch for a kk-row result); the exact
+            # (dist2, pid) tie order is then resolved on the ≤ kk-plus-ties
+            # candidate subset only. Rows tied with the kth distance are all
+            # included before the cut, so the kept set always contains the
+            # true top-k under the pid tie-break.
+            part = np.argpartition(d2, kk - 1, axis=0)[:kk, :]
+            thr = d2[part, np.arange(len(q_ids))[None, :]].max(axis=0)
             out = {qid: [], pid: [], "x": [], "y": [], "dist2": []}
             for j in range(len(q_ids)):
-                order = np.lexsort((pids, d2[:, j]))[:kk]
-                out[qid].append(np.full(kk, q_ids[j]))
+                sel = np.flatnonzero(d2[:, j] <= thr[j])
+                order = sel[np.lexsort((pids[sel], d2[sel, j]))][:kk]
+                out[qid].append(np.full(len(order), q_ids[j]))
                 out[pid].append(pids[order])
                 out["x"].append(px[order])
                 out["y"].append(py[order])

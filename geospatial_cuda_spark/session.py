@@ -58,6 +58,16 @@ def get_spark(
         # 1024 entries ≈ tens of MB of class metadata — cheap insurance for
         # a long-lived serving session.
         .config("spark.sql.codegen.cache.maxEntries", "1024")
+        # Whole-stage codegen can emit single filter/project methods past
+        # HotSpot's DontCompileHugeMethods threshold (8000 bytecode bytes);
+        # the JVM then refuses to JIT them and the hot loop runs in the
+        # bytecode INTERPRETER — measured 0.8 s → 18 s on a 6-edge ray-cast
+        # filter the moment the method crossed the limit (a cliff, not a
+        # slope). Let the JIT compile huge generated methods; Spark keeps
+        # its own 64 KB fallback (spark.sql.codegen.hugeMethodLimit) for
+        # genuinely pathological plans.
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         # Keep timestamps deterministic.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -529,3 +529,38 @@ def test_ann_bruteforce_jvm_scorer_bit_identical(spark):
         K.ann_bruteforce(emb, queries, k=7, scorer="jvm")
     with pytest.raises(ValueError, match="scorer"):
         K.ann_bruteforce(emb, queries, k=7, scorer="gpu")
+
+
+def test_pip_jvm_scorer_bit_identical(spark):
+    """point_in_polygons(scorer='jvm') — the whole-stage-codegen ray cast —
+    must produce EXACTLY the Arrow kernel's hit set (same float64 edge
+    arithmetic in the same order), including points landing exactly ON
+    edges/vertices, so the scorer choice moves cost only, never results."""
+    rng = np.random.default_rng(23)
+    polys = polygons()
+    # random interior points + exact boundary/vertex points of every polygon
+    xs = rng.uniform(0, 1e6, 4000)
+    ys = rng.uniform(0, 1e6, 4000)
+    bx, by = [], []
+    for _, v in polys:
+        for i in range(len(v)):
+            x1, y1 = v[i]
+            x2, y2 = v[(i + 1) % len(v)]
+            bx += [x1, (x1 + x2) / 2.0]
+            by += [y1, (y1 + y2) / 2.0]
+    xs = np.concatenate([xs, np.array(bx)])
+    ys = np.concatenate([ys, np.array(by)])
+    rows = [(i, float(xs[i]), float(ys[i])) for i in range(len(xs))]
+    pts = spark.createDataFrame(rows, "pid long, x double, y double")
+    key = ["pid", "poly_id"]
+    arrow = (
+        P.point_in_polygons(pts, polys)
+        .select(*key).toPandas().sort_values(key, ignore_index=True)
+    )
+    jvm = (
+        P.point_in_polygons(pts, polys, scorer="jvm")
+        .select(*key).toPandas().sort_values(key, ignore_index=True)
+    )
+    assert arrow.equals(jvm)
+    with pytest.raises(ValueError, match="scorer"):
+        P.point_in_polygons(pts, polys, scorer="gpu")

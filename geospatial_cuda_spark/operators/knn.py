@@ -322,6 +322,24 @@ def ann_bruteforce(
     )
 
 
+def _spread_embeddings(df: DataFrame) -> DataFrame:
+    """Give the per-row Arrow assignment stage real parallelism when the
+    corpus arrives in fewer splits than cores (a single parquet row group —
+    one task — regardless of core count; the centroid-sims kernel is
+    memory-traffic-bound, so the single task IS the stage wall). The
+    repartition is a no-op at scale, where a real corpus arrives in far
+    more splits than defaultParallelism; the shuffled rows here are the
+    skinny (id, vector) relation, a few MB at bench scale."""
+    sc = df.sparkSession.sparkContext
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — exotic plans; stay lazy
+        return df
+    if n < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _hash_ordered_sample(
     embeddings: DataFrame, n: int, vec_id: str, emb: str
 ) -> np.ndarray:
@@ -478,6 +496,11 @@ def cluster_assign(
             }
         )
 
+    # no _spread_embeddings here: at the small n_clusters this operator
+    # serves (8-16 for mixing), the assignment matmul is light enough that
+    # the spread's shuffle costs more than the single-task kernel saves
+    # (measured 0.48 s → 0.71 s on doc_clusters); ann_ivf's √N-centroid
+    # assignment is the traffic-bound case the spread is for
     return embeddings.select(vec_id, _assign(F.col(emb)).alias("_a")).select(
         vec_id,
         F.col("_a.cluster").alias("cluster"),
@@ -553,7 +576,7 @@ def ann_ivf(
 
         return _assign
 
-    tagged = embeddings.withColumn(
+    tagged = _spread_embeddings(embeddings).withColumn(
         "_bucket", F.element_at(_bucket_udf(1)(F.col(emb)), 1)
     )
     probes = query_vecs.select(

@@ -198,9 +198,21 @@ def cells_from_counts(
     candidates = counts_all.where(
         (F.col("count") >= min_points) & (F.col("depth") < max_depth)
     )
-    interior = candidates.withColumn(
-        "g", bbox_struct_col(F.col("cell_id"), F.col("depth"), domain, min_distance)
-    ).where(F.col("g.extent_ok")).select("cell_id", "depth", "count")
+    # The extent stop (|x1-x2| >= min_distance OR |y1-y2| >= min_distance,
+    # float32) cannot bite while the widest axis of a depth-(max_depth-1)
+    # cell is still ≥ 2·min_distance: the float32 descent halves each axis
+    # within 1 ulp per level, so every candidate's extent test is TRUE and
+    # the Arrow bbox stage here is a constant-true filter — skip it and
+    # save one Python stage on the build's critical path. (The reference
+    # defaults — 1e6 domain, min_distance 5 — keep the test provably
+    # constant through depth 16; deeper trees evaluate it as before.)
+    max_axis = max(abs(domain[2] - domain[0]), abs(domain[3] - domain[1]))
+    if max_axis / (1 << max(max_depth - 1, 0)) >= 2.0 * min_distance:
+        interior = candidates.select("cell_id", "depth", "count")
+    else:
+        interior = candidates.withColumn(
+            "g", bbox_struct_col(F.col("cell_id"), F.col("depth"), domain, min_distance)
+        ).where(F.col("g.extent_ok")).select("cell_id", "depth", "count")
 
     # Every interior cell spawns exactly 4 children (reference recursion is
     # unconditional: create_grid.cu:147-155) — empties become 0-count leaves.

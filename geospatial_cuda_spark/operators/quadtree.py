@@ -149,9 +149,41 @@ def counts_from_points(
     pushes the whole expansion through the JVM hash tables: measured 3-4×
     slower at 5M points and the dominant term in the N→4N scaling bench.
     The per-level-groupBy CHAIN alternative is worse still — max_depth
-    sequential exchanges of fixed stage latency no executor count removes."""
+    sequential exchanges of fixed stage latency no executor count removes.
+
+    SHALLOW trees (max_depth <= 9 on the reference domain) take an all-JVM
+    route instead: the depth-<=10-exact codegen encode + one grouped count
+    to finest cells, then the ancestor explode over the <= 4^max_depth
+    FINEST-CELL rows (<= 2.6M exploded rows at the cap — cells-sized, never
+    points-sized, so the 3-4x relational caveat above does not apply). This
+    skips the JVM<->Python Arrow boundary entirely, whose round trip alone
+    measured ~1.9 s on a 6M-point scan (guide §4.1) against ~0.3 s of
+    kernel compute; the depth-8 contract build's counts pass dropped
+    2.7 -> ~1 s. Deep trees keep the kernel: their occupied-finest set
+    approaches the point count and the in-kernel rollup's pre-reduction is
+    the right trade again."""
 
     out_schema = "cell_id long, depth int, count long"
+
+    if tuple(domain) == tuple(DOMAIN) and max_depth <= 9:
+        fin = (
+            points.select(
+                C.cell_id_col(F.col(x), F.col(y), max_depth, domain).alias("_fid")
+            )
+            .groupBy("_fid")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        chain = F.array(*[ancestor_col(F.col("_fid"), k) for k in range(max_depth + 1)])
+        return (
+            fin.select(F.posexplode(chain).alias("k", "cell_id"), "count")
+            .select(
+                "cell_id",
+                (F.lit(max_depth) - F.col("k")).cast("int").alias("depth"),
+                "count",
+            )
+            .groupBy("cell_id", "depth")
+            .agg(F.sum("count").alias("count"))
+        )
 
     def rollup(batches):
         xs, ys = [], []

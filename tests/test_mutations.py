@@ -74,3 +74,31 @@ def test_insert_triggers_split_and_delete_recoarsens(spark):
     counts2, cells2 = M.refresh_cells(counts1, M.counts_delta(extra.select("x", "y"), -1))
     assert cells2.count() == 1  # re-coarsened to a single root leaf
     assert _cells_pdf(cells2).equals(_cells_pdf(cells0))
+
+
+def test_mutation_query_releases_caches(spark):
+    """VERDICT r5 item 3: the mutation_cells contract query must not leak
+    refresh_cells' internal counts persist for the session lifetime — the
+    same no-persisted-RDD discipline test_dedup_text pins for the dedup
+    pipelines. The query materializes via an eager localCheckpoint and
+    unpersists the graft before returning; checkpoint blocks are
+    ContextCleaner-reclaimed once the frame drops."""
+    import gc
+    import time
+
+    from geospatial_cuda_spark.entrypoints import QUERIES
+
+    sc = spark.sparkContext
+    gc.collect()
+    baseline = sc._jsc.getPersistentRDDs().size()
+    out = QUERIES["mutation_cells"](spark, "/root/testdata/sf0.001")
+    out.count()
+    assert sc._jsc.getPersistentRDDs().size() <= baseline + 1  # ckpt only
+    del out
+    for _ in range(60):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if sc._jsc.getPersistentRDDs().size() <= baseline:
+            break
+        time.sleep(0.25)
+    assert sc._jsc.getPersistentRDDs().size() <= baseline

@@ -576,7 +576,12 @@ def ann_ivf(
 
         return _assign
 
-    tagged = _spread_embeddings(embeddings).withColumn(
+    # spread only when the assignment matmul is heavy enough to beat the
+    # shuffle (cost ∝ n_centroids; at the ⌈√N⌉ default this gates on corpus
+    # size ≳ 16k — measured net-negative at 45 centroids / 2k vectors,
+    # +25% at 142 / 20k)
+    corpus = _spread_embeddings(embeddings) if n_centroids >= 128 else embeddings
+    tagged = corpus.withColumn(
         "_bucket", F.element_at(_bucket_udf(1)(F.col(emb)), 1)
     )
     probes = query_vecs.select(

@@ -640,10 +640,9 @@ MUT_DELETES_FIXED = [(9981.0, 9979.0), (100.0, 100.0)]  # inserted point + absen
 MUT_DEL_MOD = 997
 
 
-def q_mutation_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1+M2 incremental path: insert batch, then delete batch, cells refreshed
-    from count DELTAS only (no points rescan) — must equal a full rebuild of
-    the mutated point set (the SQL oracle rebuilds)."""
+def _mutation_cells_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy mutation composition (also the plan-audit source — the
+    contract entry below materializes it, hiding the plan)."""
     from .operators import mutations as M
     from .operators.quadtree import counts_from_points
 
@@ -678,14 +677,23 @@ def q_mutation_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, cells = M.refresh_cells(old_counts, delta, max_depth=CELL_DEPTH)
     out = cells.select("cell_id", "depth", F.col("count").alias("cnt"), "is_leaf")
+    out._graft_persists = getattr(cells, "_graft_persists", [])
+    return out
+
+
+def q_mutation_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2 incremental path: insert batch, then delete batch, cells refreshed
+    from count DELTAS only (no points rescan) — must equal a full rebuild of
+    the mutated point set (the SQL oracle rebuilds)."""
+    out = _mutation_cells_lazy(spark, sf_dir)
     # materialize, then release refresh_cells' internal counts persist NOW:
     # returning the lazy frame kept the persist live for the session (one
     # leaked relation per run — VERDICT r5 item 3). The eager checkpoint's
     # blocks are ContextCleaner-reclaimed once the frame drops.
-    out = out.localCheckpoint(eager=True)
-    for dep in getattr(cells, "_graft_persists", []):
+    ckpt = out.localCheckpoint(eager=True)
+    for dep in getattr(out, "_graft_persists", []):
         dep.unpersist()
-    return out
+    return ckpt
 
 
 def q_neighbor_ring(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -165,13 +165,15 @@ AUDIT = [
     ),
     (
         "embedding_neardup_lsh",
-        "Unlabeled LSH near-dup: ONE scan computes all band keys (Arrow "
-        "kernel + explode), self-join is an EQUI-join on (band, key) over "
-        "ids-only rows, vectors fetched per unique pair by equi-joins, exact "
-        "cosine verify in ONE Arrow kernel (identical left-assoc summation "
-        "as the SQL oracle; the unrolled Column form costs ~1.5 s Janino "
-        "compile per fresh plan). No label column, no hot-key cartesian.",
-        ["Generate", "Join", "ArrowEvalPython"],
+        "Unlabeled LSH near-dup (r6 shape): ONE scan computes all band keys "
+        "(Arrow kernel + explode); each (band, key) bucket is scored "
+        "all-pairs INSIDE one cogrouped Arrow kernel "
+        "(FlatMapGroupsInPandas) with the identical left-assoc float64 "
+        "summation as the SQL oracle, emitting only above-threshold pairs — "
+        "no pair self-join, no vector-attach joins, no candidate rows "
+        "across the Python boundary; a final distinct dedups cross-band "
+        "hits. No label column, no hot-key cartesian.",
+        ["Generate", "FlatMapGroupsInPandas", "HashAggregate"],
     ),
     (
         "tile_slice_geometry",
@@ -226,7 +228,10 @@ AUDIT = [
         "are anti-joins (no full rescan of the surviving points); the count "
         "delta of the touched finest cells rolls up the prefix chain and "
         "full-outer-merges into the old counts — cells-only work, partial "
-        "aggregation before every exchange.",
+        "aggregation before every exchange. (The contract entry materializes "
+        "through an eager localCheckpoint to release its internal persist — "
+        "VERDICT r5 item 3 — so the audit uses the pre-checkpoint "
+        "composition via _custom_plan_sources.)",
         ["HashAggregate", "Join"],
     ),
     (
@@ -270,6 +275,49 @@ AUDIT = [
         "single-row aggregates cross-combined (the only nested loop — both "
         "sides are exactly one row).",
         ["TakeOrderedAndProject", "HashAggregate"],
+    ),
+    (
+        "snapshot_prune",
+        "Manifest file skipping (r5/r6): the PRUNING decision is driver-side "
+        "from the manifest's per-file [min,max] stats — the scan node lists "
+        "ONLY surviving files (no listing job, no footer open at plan time); "
+        "the same range predicates are ALSO pushed to the parquet reader "
+        "(PushedFilters: x/y bounds) for row-group skipping inside survivors; "
+        "each bbox aggregate is a two-phase HashAggregate. (The commit itself "
+        "runs eagerly at query construction; the audited plan is the "
+        "three-box pruned-read union.)",
+        ["PushedFilters", "HashAggregate"],
+    ),
+    (
+        "corpus_mix",
+        "Cluster-balanced mixing (r5/r6): the scored+clustered selection is "
+        "materialized ONCE (eager localCheckpoint — the plan reads "
+        "ExistingRDD, not a re-derivation of the dedup+scoring pipeline, "
+        "which r5 evaluated three times); the cumulative budget window runs "
+        "over the tiny (cluster × quality-bin) HISTOGRAM partitioned by "
+        "cluster (never a row-level sort), and the full-bin/boundary-bin "
+        "joins back are explicit broadcasts.",
+        ["ExistingRDD", "Window", "BroadcastHashJoin"],
+    ),
+    (
+        "doc_clusters",
+        "Semantic clustering rollup (r5): centroid assignment is ONE Arrow "
+        "pass over the corpus scan (ArrowEvalPython — the float64 "
+        "sequential-accumulation kernel the oracle replays; no candidate "
+        "join, no shuffle before assignment), then a two-phase HashAggregate "
+        "on the 16 cluster keys; the scan reads only (vec_id, embedding).",
+        ["ArrowEvalPython", "HashAggregate", "ReadSchema"],
+    ),
+    (
+        "snapshot_lineage",
+        "S3 sink lineage + merge-on-read read-back (r5/r6): the committed "
+        "base+delta read loads EXACTLY the manifest's file set (scan paths "
+        "are the manifest files; no directory listing); the merged per-bucket "
+        "aggregate is a two-phase HashAggregate and the 8-row driver-side "
+        "lineage relation joins it via a broadcast — the big side never "
+        "shuffles for the join. (Commits run eagerly at construction; the "
+        "audited plan is the lineage join.)",
+        ["HashAggregate", "BroadcastHashJoin", "AdaptiveSparkPlan"],
     ),
 ]
 
@@ -365,7 +413,11 @@ def _custom_plan_sources(spark) -> dict:
     round1 = K.knn_cells(
         as_double(_queries(spark, SF_DIR, limit=10)), pts, k=5, depth=6, radius=1
     )
-    return {"knn_cells": round1}
+    from geospatial_cuda_spark.entrypoints import _mutation_cells_lazy
+
+    # the contract entry materializes through an eager localCheckpoint (to
+    # release its internal persist); audit the pre-checkpoint composition
+    return {"knn_cells": round1, "mutation_cells": _mutation_cells_lazy(spark, SF_DIR)}
 
 
 def _x7_pruning_section(spark) -> str:

@@ -77,9 +77,10 @@ def main() -> None:
                 ts.append(dt)
         spark.sparkContext.setJobDescription(None)
         results[name] = ts
-        print(json.dumps({"query": name, "best": min(ts), "reps": ts}), flush=True)
+        print(json.dumps({"query": name, "best": min(ts, default=None), "reps": ts}),
+              flush=True)
     print(json.dumps({"tag": tag, "sf": os.path.basename(SF_DIR.rstrip('/')),
-                      "best": {n: min(t) for n, t in results.items()}}))
+                      "best": {n: min(t, default=None) for n, t in results.items()}}))
     spark.stop()
 
 

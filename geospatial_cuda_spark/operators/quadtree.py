@@ -151,21 +151,24 @@ def counts_from_points(
     The per-level-groupBy CHAIN alternative is worse still — max_depth
     sequential exchanges of fixed stage latency no executor count removes.
 
-    SHALLOW trees (max_depth <= 9 on the reference domain) take an all-JVM
-    route instead: the depth-<=10-exact codegen encode + one grouped count
-    to finest cells, then the ancestor explode over the <= 4^max_depth
-    FINEST-CELL rows (<= 2.6M exploded rows at the cap — cells-sized, never
-    points-sized, so the 3-4x relational caveat above does not apply). This
-    skips the JVM<->Python Arrow boundary entirely, whose round trip alone
-    measured ~1.9 s on a 6M-point scan (guide §4.1) against ~0.3 s of
-    kernel compute; the depth-8 contract build's counts pass dropped
-    2.7 -> ~1 s. Deep trees keep the kernel: their occupied-finest set
-    approaches the point count and the in-kernel rollup's pre-reduction is
-    the right trade again."""
+    Trees the JVM can encode (max_depth <= 13 on the reference domain — the
+    cell_id_col exact/hybrid codegen ceiling) take an all-JVM route
+    instead: the codegen encode + one grouped count to finest cells, then
+    the ancestor explode over the min(N, 4^max_depth) FINEST-CELL rows.
+    This skips the JVM<->Python Arrow boundary entirely, whose round trip
+    alone measured ~1.9 s on a 6M-point scan (guide §4.1) against ~0.3 s of
+    kernel compute: the depth-8 contract build's counts pass dropped
+    2.7 -> ~1 s and the depth-12 pass over 6M points 5.2 -> 2.2 s at 32
+    cores. The 3-4x relational caveat above does not bite even in the
+    worst case (occupied-finest ~ N): at 5M points / depth 12 / 4.3M
+    occupied cells the explode+agg measured at PARITY with the kernel at 1
+    and 4 pinned cores (23.2 vs 26.5 s, 6.3 vs 6.6 s) — the explode is
+    over pre-reduced finest cells, never points, and partial aggregation
+    bounds the shuffle. Deeper trees (no JVM encode) keep the kernel."""
 
     out_schema = "cell_id long, depth int, count long"
 
-    if tuple(domain) == tuple(DOMAIN) and max_depth <= 9:
+    if tuple(domain) == tuple(DOMAIN) and max_depth <= C._HYBRID_JVM_MAX_DEPTH:
         fin = (
             points.select(
                 C.cell_id_col(F.col(x), F.col(y), max_depth, domain).alias("_fid")

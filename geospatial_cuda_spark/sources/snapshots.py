@@ -1299,6 +1299,13 @@ class SnapshotTable:
                     sort_exprs.append(F.col(c))
                 else:
                     name = f"_snap_sortkey_{i}"
+                    if name in batch.columns:
+                        # withColumn would silently OVERWRITE the user's
+                        # column and the post-sort drop would lose it
+                        raise ValueError(
+                            f"input column {name!r} collides with the "
+                            "clustered write's staged sort key; rename it"
+                        )
                     staged = staged.withColumn(name, c)
                     staged_names.append(name)
                     sort_exprs.append(F.col(name))

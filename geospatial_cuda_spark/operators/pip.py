@@ -116,7 +116,6 @@ def point_in_polygons(
     bboxes = np.array(
         [[v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max()] for _, v in polys]
     )
-    in_cols = list(points.columns)
     # nullable=True mirrors the previous explode-of-array<int> output type
     out_type = StructType(
         list(points.schema.fields) + [StructField(out, IntegerType(), True)]

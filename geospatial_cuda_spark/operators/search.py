@@ -65,17 +65,20 @@ def quadrant_search_prefix(
     max_depth: int = MAX_DEPTH,
     domain=DOMAIN,
     broadcast_cells: bool = False,
-    candidate_impl: str = "jvm",
+    candidate_impl: str = "arrow",
 ) -> DataFrame:
     """Scale path: candidate-chain equi-join instead of nested-loop scan.
 
-    ``candidate_impl``: 'jvm' (default) generates candidates in whole-stage
-    codegen where depth allows — zero Python, zero Arrow transfer, the right
-    call for long-lived sessions (the ~2 s Janino compile of the chain
-    projections amortizes across queries; steady-state execution measured
-    ~0.14 s at sf0.1) and for huge query sides (the kernel ships ~300 B of
-    Arrow per query). 'arrow' forces the kernel — a ONE-SHOT plan skips the
-    compile entirely (measured 0.27 s end-to-end on the same input)."""
+    ``candidate_impl``: 'arrow' (default) generates candidates in the
+    float32-faithful kernel — per query it ships ~300 B of Arrow, so the
+    boundary cost is negligible at ANY query count, and the plan compiles
+    in ms. 'jvm' renders the ≤4 chain projections in whole-stage codegen —
+    zero Python, but the chain expression tree pays its Janino compile on
+    EVERY FRESH PLAN (the codegen cache does not carry it across plans):
+    interleaved A/B at sf1.0 measured 0.88 s vs 0.21 s per invocation in
+    'jvm' vs 'arrow' — so 'jvm' is only the right call when the SAME
+    DataFrame object is re-executed many times (a standing serving plan),
+    not for plan-per-query serving."""
     if (
         candidate_impl != "arrow"
         and max_depth <= C._EXACT_JVM_DEPTH

@@ -388,6 +388,130 @@ def _interleave_colrow(col, row, depth: int):
     return cid
 
 
+def with_cell_bbox_jvm(df, max_depth: int, domain=DOMAIN, min_distance: float = 5.0,
+                       id_col: str = "cell_id", depth_col: str = "depth",
+                       out: str = "g"):
+    """Attach a pure-Column float32 bbox + extent-flag struct ``out`` for
+    MIXED-depth cell rows (depth ≤ ``max_depth`` ≤ 13 on the reference
+    domain) — the JVM twin of ``bbox_struct_col``'s numpy kernel,
+    bit-identical by the same two-part argument as ``cell_id_col_jvm_deep``:
+
+    - depth ≤ 10: every box edge the float32 descent produces is the exact
+      boundary ``k·(hi-lo)/2^d`` (float32-representable iff d ≤ 10 — the
+      ``_axis_bin_col`` lemma), and the double product ``k·step`` is exact
+      (≤ 24 significand bits), so computing the edge directly from the
+      cell's (col, row) bins and casting to float reproduces the descent.
+    - depth 11..13: start from the exact depth-10 prefix box and replay the
+      remaining ≤ 3 levels as genuine FloatType arithmetic — JVM float
+      add/multiply are IEEE single, the same ops the numpy kernel runs —
+      with the branch at each level taken from the cell's own digit bits.
+
+    The digit value ``v = id - (4^d-1)/3`` has base-4 digits ``k_i - 1 =
+    top_bit·2 + right_bit`` (root-first), so one de-interleave of v's
+    even/odd bits yields (col, row) at the row's own depth, uniformly for
+    every depth in the batch — no per-depth CASE chain. All intermediate
+    integer arithmetic is exact in doubles (4^13 < 2^26 ≪ 2^53).
+
+    DataFrame-level (not a bare Column) deliberately: the de-interleave and
+    each descent level are STAGED as real projection columns. Field
+    extraction on an inline struct is rewritten to the struct child
+    (SimplifyExtractValueOps), which would clone the whole integer subtree
+    into every one of the six consumers — measured 3.5× slower than the
+    Arrow kernel it was meant to beat; with the stages materialized as
+    attributes (CollapseProject keeps projections with multiply-referenced
+    non-trivial aliases apart), each consumer is a few ops on shared
+    locals and the stage stays a single WholeStageCodegen span. Parity with
+    the numpy kernel is pytest-pinned (tests/test_cells.py::test_bbox_jvm_*).
+    Staged column names are dropped before returning; ``out`` is the only
+    added column."""
+    lo_x, lo_y, hi_x, hi_y = (float(domain[i]) for i in range(4))
+    d = F.col(depth_col).cast("int")
+    base = (F.pow(F.lit(4.0), d.cast("double")) - F.lit(1.0)) / F.lit(3.0)
+    v = F.col(id_col).cast("long") - base.cast("long")
+    col = F.lit(0).cast("long")
+    row = F.lit(0).cast("long")
+    for i in range(max_depth):
+        col = col + F.shiftright(v, 2 * i).bitwiseAND(F.lit(1)) * F.lit(1 << i)
+        row = row + F.shiftright(v, 2 * i + 1).bitwiseAND(F.lit(1)) * F.lit(1 << i)
+    df = df.withColumns({"_bb_col": col, "_bb_row": row})
+    col, row = F.col("_bb_col"), F.col("_bb_row")
+    staged = ["_bb_col", "_bb_row"]
+
+    # shallow (depth ≤ 10): exact edges straight from the bins
+    inv = F.pow(F.lit(2.0), -d.cast("double"))  # exact 2^-d
+    sx = F.lit(hi_x - lo_x) * inv
+    sy = F.lit(hi_y - lo_y) * inv
+    shallow = {
+        "_bb_sx1": (col.cast("double") * sx + F.lit(lo_x)).cast("float"),
+        "_bb_sx2": ((col + 1).cast("double") * sx + F.lit(lo_x)).cast("float"),
+        "_bb_sy1": (row.cast("double") * sy + F.lit(lo_y)).cast("float"),
+        "_bb_sy2": ((row + 1).cast("double") * sy + F.lit(lo_y)).cast("float"),
+    }
+
+    if max_depth > _EXACT_JVM_DEPTH:
+        # deep (11..13): exact depth-10 prefix box + float32 descent by digits
+        b = _EXACT_JVM_DEPTH
+        pshift = F.pow(F.lit(2.0), (d - F.lit(b)).cast("double"))
+        col10 = F.floor(col.cast("double") / pshift).cast("long")
+        row10 = F.floor(row.cast("double") / pshift).cast("long")
+        s10x, s10y = (hi_x - lo_x) / (1 << b), (hi_y - lo_y) / (1 << b)
+        df = df.withColumns({
+            **shallow,
+            "_bb_x1": (col10.cast("double") * F.lit(s10x) + F.lit(lo_x)).cast("float"),
+            "_bb_x2": ((col10 + 1).cast("double") * F.lit(s10x) + F.lit(lo_x)).cast("float"),
+            "_bb_y1": (row10.cast("double") * F.lit(s10y) + F.lit(lo_y)).cast("float"),
+            "_bb_y2": ((row10 + 1).cast("double") * F.lit(s10y) + F.lit(lo_y)).cast("float"),
+        })
+        staged += ["_bb_sx1", "_bb_sx2", "_bb_sy1", "_bb_sy2",
+                   "_bb_x1", "_bb_x2", "_bb_y1", "_bb_y2"]
+        half = _f32(0.5)
+        for j in range(1, max_depth - b + 1):
+            active = d >= F.lit(b + j)
+            lshift = F.pow(F.lit(2.0), (d - F.lit(b + j)).cast("double"))
+            right = F.floor(col.cast("double") / lshift).cast("long").bitwiseAND(F.lit(1)) == 1
+            top = F.floor(row.cast("double") / lshift).cast("long").bitwiseAND(F.lit(1)) == 1
+            x1, x2 = F.col("_bb_x1"), F.col("_bb_x2")
+            y1, y2 = F.col("_bb_y1"), F.col("_bb_y2")
+            mx = (x1 + x2) * half
+            my = (y1 + y2) * half
+            df = df.withColumns({
+                "_bb_x1": F.when(active & right, mx).otherwise(x1),
+                "_bb_x2": F.when(active & ~right, mx).otherwise(x2),
+                "_bb_y1": F.when(active & top, my).otherwise(y1),
+                "_bb_y2": F.when(active & ~top, my).otherwise(y2),
+            })
+        deep = d > F.lit(b)
+        x1 = F.when(deep, F.col("_bb_x1")).otherwise(F.col("_bb_sx1"))
+        x2 = F.when(deep, F.col("_bb_x2")).otherwise(F.col("_bb_sx2"))
+        y1 = F.when(deep, F.col("_bb_y1")).otherwise(F.col("_bb_sy1"))
+        y2 = F.when(deep, F.col("_bb_y2")).otherwise(F.col("_bb_sy2"))
+    else:
+        df = df.withColumns(shallow)
+        staged += ["_bb_sx1", "_bb_sx2", "_bb_sy1", "_bb_sy2"]
+        x1, x2 = F.col("_bb_sx1"), F.col("_bb_sx2")
+        y1, y2 = F.col("_bb_sy1"), F.col("_bb_sy2")
+
+    # final coordinates staged once more so the six struct-field consumers
+    # (4 floats + extent_ok + is_leaf downstream) share them as attributes
+    df = df.withColumns({"_bb_fx1": x1, "_bb_fy1": y1, "_bb_fx2": x2, "_bb_fy2": y2})
+    staged += ["_bb_fx1", "_bb_fy1", "_bb_fx2", "_bb_fy2"]
+    fx1, fy1 = F.col("_bb_fx1"), F.col("_bb_fy1")
+    fx2, fy2 = F.col("_bb_fx2"), F.col("_bb_fy2")
+    mdf = _f32(min_distance)
+    extent_ok = (F.abs(fx1 - fx2) >= mdf) | (F.abs(fy1 - fy2) >= mdf)
+    df = df.withColumn(
+        out,
+        F.struct(
+            fx1.alias("min_x"),
+            fy1.alias("min_y"),
+            fx2.alias("max_x"),
+            fy2.alias("max_y"),
+            extent_ok.alias("extent_ok"),
+        ),
+    )
+    return df.drop(*staged)
+
+
 def candidate_cells_col_jvm(xcol, ycol, max_depth: int, domain=DOMAIN):
     """Pure-Column candidate array: per depth, the containment set is the
     cross product of the ≤2 per-axis bins ({``<=``-rule, ``<``-rule} chains),

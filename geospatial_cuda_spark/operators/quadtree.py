@@ -281,9 +281,17 @@ def cells_from_counts(
     )
 
     cells = root.unionByName(real)
-    cells = cells.withColumn(
-        "g", bbox_struct_col(F.col("cell_id"), F.col("depth"), domain, min_distance)
-    ).select(
+    # Output bboxes: pure-JVM twin whenever the depth/domain admits it (the
+    # same gate as the all-JVM count rollup) — this removes the LAST Python
+    # stage from the build; bit-identity with the numpy kernel is argued and
+    # pytest-pinned at with_cell_bbox_jvm. Deeper trees keep the Arrow kernel.
+    if tuple(domain) == tuple(DOMAIN) and max_depth <= C._HYBRID_JVM_MAX_DEPTH:
+        cells = C.with_cell_bbox_jvm(cells, max_depth, domain, min_distance)
+    else:
+        cells = cells.withColumn(
+            "g", bbox_struct_col(F.col("cell_id"), F.col("depth"), domain, min_distance)
+        )
+    cells = cells.select(
         "cell_id",
         "depth",
         F.col("g.min_x").alias("min_x"),

@@ -241,3 +241,57 @@ def test_oracle_tree_invariants(small_points):
             kids = [by_id[r["cell_id"] * 4 + k] for k in (1, 2, 3, 4)]
             assert sum(k["count"] for k in kids) == r["count"]
     assert by_id[0]["count"] == x.shape[0]
+
+
+def test_bbox_jvm_matches_float32_kernel(spark):
+    """The pure-Column mixed-depth bbox (cell_bbox_cols_jvm — the build's
+    output stage for depth ≤ 13) is BIT-identical to the numpy float32
+    descent kernel: exhaustive over every cell to depth 5, random samples
+    including the id-range edges at 6..13, at the shallow-only (8), the
+    pipeline (12) and the ceiling (13) dispatch depths. extent_ok parity is
+    asserted under the same float32 comparison the kernel runs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    ids_l, ds_l = [], []
+    for d in range(0, 6):
+        lo, hi = (4**d - 1) // 3, (4 ** (d + 1) - 4) // 3
+        ids_l.append(np.arange(lo, hi + 1, dtype=np.int64))
+        ds_l.append(np.full(ids_l[-1].size, d, np.int32))
+    for d in range(6, 14):
+        lo, hi = (4**d - 1) // 3, (4 ** (d + 1) - 4) // 3
+        ids_l.append(
+            np.unique(np.concatenate([rng.integers(lo, hi + 1, 1500), [lo, hi]]))
+        )
+        ds_l.append(np.full(ids_l[-1].size, d, np.int32))
+    ids = np.concatenate(ids_l)
+    ds = np.concatenate(ds_l)
+
+    exp = {k: np.empty(ids.size, np.float32) for k in ("x1", "y1", "x2", "y2")}
+    for d in np.unique(ds):
+        m = ds == d
+        exp["x1"][m], exp["y1"][m], exp["x2"][m], exp["y2"][m] = C.cell_bbox(
+            ids[m], int(d), DOMAIN
+        )
+    exp_ok = (np.abs(exp["x1"] - exp["x2"]) >= np.float32(5.0)) | (
+        np.abs(exp["y1"] - exp["y2"]) >= np.float32(5.0)
+    )
+
+    for max_depth in (8, 12, 13):
+        sel = ds <= max_depth
+        df = spark.createDataFrame(
+            pd.DataFrame({"cell_id": ids[sel], "depth": ds[sel]})
+        )
+        got = (
+            C.with_cell_bbox_jvm(df, max_depth, DOMAIN, 5.0)
+            .select("cell_id", "g.min_x", "g.min_y", "g.max_x", "g.max_y", "g.extent_ok")
+            .orderBy("cell_id")
+            .toPandas()
+        )
+        order = np.argsort(ids[sel], kind="stable")
+        assert np.array_equal(got["min_x"].to_numpy(np.float32), exp["x1"][sel][order])
+        assert np.array_equal(got["min_y"].to_numpy(np.float32), exp["y1"][sel][order])
+        assert np.array_equal(got["max_x"].to_numpy(np.float32), exp["x2"][sel][order])
+        assert np.array_equal(got["max_y"].to_numpy(np.float32), exp["y2"][sel][order])
+        assert np.array_equal(got["extent_ok"].to_numpy(bool), exp_ok[sel][order])

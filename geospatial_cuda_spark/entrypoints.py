@@ -2687,7 +2687,11 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             gen.cast("string"), F.lit("-"), F.pmod(F.col("o_orderkey"), F.lit(4)).cast("string")
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the projected orders relation feeds THREE per-generation commits;
+    # the eager localCheckpoint scans the parquet once instead of once per
+    # commit (guide §1.2 materialize-once) — fresh RDD per call, reclaimed
+    # when the frame drops, never a cross-run cache
     for g in (0, 1, 2):  # v1, v2, v3 — disjoint buckets per generation
         snap.commit(orders.where(F.col("gen") == g).drop("gen"), "bucket")
     out = None
@@ -2739,7 +2743,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             gen.cast("string"), F.lit("-"), F.pmod(dkey, F.lit(4)).cast("string")
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ three per-generation commits consume this projection — scan once
+    # (guide §1.2); fresh RDD per call, never a cross-run cache
     snap.commit(rows.where(F.col("gen") == 0), "bucket")  # v1
     register_snapshot_changes(spark)
     name = f"sdedup_{uuid.uuid4().hex[:12]}"
@@ -2804,7 +2810,11 @@ def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             gen.cast("string"), F.lit("-"), F.pmod(F.col("o_orderkey"), F.lit(4)).cast("string")
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the projected orders relation feeds THREE per-generation commits;
+    # the eager localCheckpoint scans the parquet once instead of once per
+    # commit (guide §1.2 materialize-once) — fresh RDD per call, reclaimed
+    # when the frame drops, never a cross-run cache
     for g in (0, 1):
         snap.commit(orders.where(F.col("gen") == g), "bucket")  # v1, v2
     snap.rollback(1)                                            # v3 == v1
@@ -2859,7 +2869,11 @@ def q_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             gen.cast("string"), F.lit("-"), F.pmod(F.col("o_orderkey"), F.lit(4)).cast("string")
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the projected orders relation feeds THREE per-generation commits;
+    # the eager localCheckpoint scans the parquet once instead of once per
+    # commit (guide §1.2 materialize-once) — fresh RDD per call, reclaimed
+    # when the frame drops, never a cross-run cache
     snap.commit(orders.where(F.col("gen") == 0), "bucket")  # v1
     register_snapshot_changes(spark)
     name = f"snap_stream_{uuid.uuid4().hex[:12]}"

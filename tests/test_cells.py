@@ -244,7 +244,7 @@ def test_oracle_tree_invariants(small_points):
 
 
 def test_bbox_jvm_matches_float32_kernel(spark):
-    """The pure-Column mixed-depth bbox (cell_bbox_cols_jvm — the build's
+    """The pure-Column mixed-depth bbox (with_cell_bbox_jvm — the build's
     output stage for depth ≤ 13) is BIT-identical to the numpy float32
     descent kernel: exhaustive over every cell to depth 5, random samples
     including the id-range edges at 6..13, at the shallow-only (8), the

@@ -250,17 +250,27 @@ class CasFileManifestStore(ManifestStore):
             except FileNotFoundError:
                 return None
             if name:
-                break
-            # token created, name not yet visible: a winner is inside the
-            # µs commit window (or died there). Brief poll, then absent.
+                try:
+                    with open(os.path.join(self.manifest_dir, name)) as f:
+                        return json.load(f)
+                except FileNotFoundError:
+                    # token visible but its payload name is partial/garbled:
+                    # the winner is mid-write (or died there) — the SAME
+                    # commit window as the empty token, so poll then treat
+                    # as absent instead of letting the payload open raise
+                    # out of read_version (ADVICE r5). A fully-written
+                    # token always names an fsync'd payload, so this path
+                    # only fires inside the window (or on tampering).
+                    pass
+            # token created, name not yet (fully) visible: a winner is
+            # inside the µs commit window (or died there). Brief poll,
+            # then absent.
             now = _time.monotonic()
             if deadline is None:
                 deadline = now + self.torn_token_wait_sec
             elif now >= deadline:
                 return None
             _time.sleep(0.01)
-        with open(os.path.join(self.manifest_dir, name)) as f:
-            return json.load(f)
 
     def latest_hint(self) -> int:
         try:

@@ -78,7 +78,13 @@ def _reconcile_batch(batch, fields: list, bucket_col: str, bucket_value):
     names = set(batch.schema.names)
     for name, at in fields:
         if name == bucket_col and name not in names:
-            cols.append(pa.repeat(pa.scalar(bucket_value, type=at), n))
+            # bucket_value is always a STRING (manifest JSON key / directory
+            # name); for a non-string bucket column build the scalar by
+            # casting through Arrow — the streaming twin of the batch
+            # reader's `.cast(bucket_type)` — instead of pa.scalar(str,
+            # type=int64), which raises ArrowInvalid (ADVICE r5)
+            sc = pa.array([bucket_value], type=pa.string()).cast(at)[0]
+            cols.append(pa.repeat(sc, n))
         elif name in names:
             cols.append(batch.column(name).cast(at))
         else:

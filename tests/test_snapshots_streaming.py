@@ -730,6 +730,15 @@ def test_casfile_store_cas_rollforward_and_torn_token(spark, bucketed_df, tmp_pa
     assert store.read_version(3) is None  # absent after the poll window
     assert snap.current()["version"] == 2  # chain stops before the torn slot
 
+    # PARTIAL token (ADVICE r5): name half-written mid-crash — must poll
+    # then read as absent exactly like the empty token, not raise
+    # FileNotFoundError out of read_version/current
+    with open(os.path.join(sdir, "v3.token"), "w") as f:
+        f.write("payload-deadbeef")  # plausible but nonexistent payload name
+    assert store.read_version(3) is None
+    assert snap.current()["version"] == 2
+    os.remove(os.path.join(sdir, "v3.token"))
+
     # garbled hint tolerated (advisory contract)
     with open(os.path.join(sdir, "CURRENT"), "w") as f:
         f.write("garbage")
